@@ -1,0 +1,200 @@
+"""Shared 3D-ViT building blocks + the plain VisionTransformer model.
+
+TPU-first design choices vs the reference (src/model/vision_transformer.py):
+- The non-overlapping Conv3d patch embed (kernel == stride) is a pure
+  reshape + matmul; we lower it that way so it lands on the MXU as one
+  [B*N, patch_dim] x [patch_dim, dim] GEMM instead of a conv window scan.
+- Attention dispatches to a blockwise Pallas flash kernel (no N^2 HBM
+  tensor) or the XLA reference path (ops/attention.py).
+- Params are a flat dict keyed by the reference's state_dict names, e.g.
+  "transformer.layers.3.0.to_qkv.weight" (torch (out, in) layout).
+
+Methods ``linear`` / ``bitfit`` / ``fft`` are this model plus a trainable-name
+filter (ref: src/train.py:111-137); see models/factory.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gaviko_tpu.config import ModelSpec
+from gaviko_tpu.core import init as tinit
+from gaviko_tpu.core.layers import (
+    Params,
+    RngStream,
+    dropout,
+    gelu,
+    layer_norm,
+    linear,
+)
+from gaviko_tpu.ops.attention import multi_head_attention
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+def patchify_embed(p: Params, prefix: str, img: jax.Array, spec: ModelSpec) -> jax.Array:
+    """[B, C, D, H, W] -> [B, N, dim] tokens in (d, h, w) row-major order.
+
+    Equivalent to the reference's Conv3d(kernel=stride=patch) + flatten +
+    transpose (vision_transformer.py:126-128, 150-151), lowered as
+    reshape + GEMM.
+    """
+    B, C, D, H, W = img.shape
+    pd = spec.frame_patch_size
+    ph, pw = spec.image_patch_size
+    gd, gh, gw = D // pd, H // ph, W // pw
+    x = img.reshape(B, C, gd, pd, gh, ph, gw, pw)
+    # -> [B, gd, gh, gw, C, pd, ph, pw]
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    x = x.reshape(B, gd * gh * gw, C * pd * ph * pw)
+    w = p[f"{prefix}.weight"]  # (dim, C, pd, ph, pw)
+    w2 = w.reshape(w.shape[0], -1)  # (dim, patch_dim)
+    y = jnp.einsum("bnk,dk->bnd", x, w2, preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype) + p[f"{prefix}.bias"]
+    return y
+
+
+def attention_block(
+    p: Params,
+    prefix: str,
+    x: jax.Array,
+    spec: ModelSpec,
+    *,
+    train: bool = False,
+    rngs: Optional[RngStream] = None,
+    qkv_override=None,
+) -> jax.Array:
+    """Pre-norm MHSA (ref: vision_transformer.py:40-72). Returns the branch
+    output (caller adds the residual). ``qkv_override(x_normed) -> qkv`` lets
+    MeLO inject its LoRA-augmented qkv projection."""
+    h = layer_norm(p, f"{prefix}.norm", x)
+    if qkv_override is not None:
+        qkv = qkv_override(h)
+    else:
+        qkv = h @ p[f"{prefix}.to_qkv.weight"].T  # bias=False in the reference
+    B, N, _ = qkv.shape
+    heads, dh = spec.heads, spec.dim_head
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def to_heads(t):
+        return t.reshape(B, N, heads, dh).transpose(0, 2, 1, 3)
+
+    out = multi_head_attention(
+        to_heads(q), to_heads(k), to_heads(v),
+        scale=dh ** -0.5,
+        dropout_rate=spec.dropout,
+        dropout_enabled=train,
+        rngs=rngs,
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, heads * dh)
+    out = linear(p, f"{prefix}.to_out.0", out)
+    out = dropout(out, spec.dropout, train, rngs)
+    return out
+
+
+def feedforward_block(
+    p: Params,
+    prefix: str,
+    x: jax.Array,
+    spec: ModelSpec,
+    *,
+    train: bool = False,
+    rngs: Optional[RngStream] = None,
+) -> jax.Array:
+    """LN -> Linear -> GELU -> Dropout -> Linear -> Dropout
+    (ref: vision_transformer.py:26-38). Returns the branch output."""
+    h = layer_norm(p, f"{prefix}.net.0", x)
+    h = linear(p, f"{prefix}.net.1", h)
+    h = gelu(h)
+    h = dropout(h, spec.dropout, train, rngs)
+    h = linear(p, f"{prefix}.net.4", h)
+    h = dropout(h, spec.dropout, train, rngs)
+    return h
+
+
+def add_cls_and_pos(p: Params, tokens: jax.Array) -> jax.Array:
+    """Prepend cls token and add pos embedding (ref: vision_transformer.py:154-156)."""
+    B, n, _ = tokens.shape
+    cls = jnp.broadcast_to(p["cls_token"], (B, 1, tokens.shape[-1])).astype(tokens.dtype)
+    x = jnp.concatenate([cls, tokens], axis=1)
+    return x + p["pos_embedding"][:, : n + 1].astype(tokens.dtype)
+
+
+def pool_and_head(p: Params, x: jax.Array, spec: ModelSpec) -> jax.Array:
+    pooled = x.mean(axis=1) if spec.pool == "mean" else x[:, 0]
+    return linear(p, "mlp_head", pooled)
+
+
+# ---------------------------------------------------------------------------
+# Plain VisionTransformer
+# ---------------------------------------------------------------------------
+
+def vit_apply(
+    params: Params,
+    img: jax.Array,
+    spec: ModelSpec,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Forward pass of the plain 3D ViT (ref: vision_transformer.py:149-164).
+
+    For methods linear/bitfit/fft the reference has no custom ``train()``, so
+    in training mode every dropout (including over frozen blocks) is active —
+    ``train=True`` reproduces that.
+    """
+    rngs = RngStream(rng)
+    x = patchify_embed(params, "conv_proj.0", img, spec)
+    x = add_cls_and_pos(params, x)
+    x = dropout(x, spec.emb_dropout, train, rngs)
+    for i in range(spec.depth):
+        x = attention_block(
+            params, f"transformer.layers.{i}.0", x, spec, train=train, rngs=rngs
+        ) + x
+        x = feedforward_block(
+            params, f"transformer.layers.{i}.1", x, spec, train=train, rngs=rngs
+        ) + x
+    x = layer_norm(params, "transformer.norm", x)
+    return pool_and_head(params, x, spec)
+
+
+def vit_init(rng: jax.Array, spec: ModelSpec, dtype=jnp.float32) -> Params:
+    """Init matching the reference's parameter set & torch-default distributions."""
+    kg = tinit.KeyGen(rng)
+    dim, mlp = spec.dim, spec.mlp_dim
+    inner = spec.heads * spec.dim_head
+    pd = spec.frame_patch_size
+    ph, pw = spec.image_patch_size
+    p: Dict[str, jax.Array] = {}
+    p["conv_proj.0.weight"] = tinit.torch_conv3d_weight(
+        kg(), dim, spec.channels, (pd, ph, pw), dtype
+    )
+    p["conv_proj.0.bias"] = tinit.torch_conv3d_bias(
+        kg(), dim, spec.channels, (pd, ph, pw), dtype
+    )
+    p["pos_embedding"] = jax.random.normal(kg(), (1, spec.num_patches + 1, dim), dtype)
+    p["cls_token"] = jax.random.normal(kg(), (1, 1, dim), dtype)
+    for i in range(spec.depth):
+        a = f"transformer.layers.{i}.0"
+        p[f"{a}.norm.weight"] = jnp.ones((dim,), dtype)
+        p[f"{a}.norm.bias"] = jnp.zeros((dim,), dtype)
+        p[f"{a}.to_qkv.weight"] = tinit.torch_linear_weight(kg(), inner * 3, dim, dtype)
+        p[f"{a}.to_out.0.weight"] = tinit.torch_linear_weight(kg(), dim, inner, dtype)
+        p[f"{a}.to_out.0.bias"] = tinit.torch_linear_bias(kg(), dim, inner, dtype)
+        f = f"transformer.layers.{i}.1"
+        p[f"{f}.net.0.weight"] = jnp.ones((dim,), dtype)
+        p[f"{f}.net.0.bias"] = jnp.zeros((dim,), dtype)
+        p[f"{f}.net.1.weight"] = tinit.torch_linear_weight(kg(), mlp, dim, dtype)
+        p[f"{f}.net.1.bias"] = tinit.torch_linear_bias(kg(), mlp, dim, dtype)
+        p[f"{f}.net.4.weight"] = tinit.torch_linear_weight(kg(), dim, mlp, dtype)
+        p[f"{f}.net.4.bias"] = tinit.torch_linear_bias(kg(), dim, mlp, dtype)
+    p["transformer.norm.weight"] = jnp.ones((dim,), dtype)
+    p["transformer.norm.bias"] = jnp.zeros((dim,), dtype)
+    p["mlp_head.weight"] = tinit.torch_linear_weight(kg(), spec.num_classes, dim, dtype)
+    p["mlp_head.bias"] = tinit.torch_linear_bias(kg(), spec.num_classes, dim, dtype)
+    return p

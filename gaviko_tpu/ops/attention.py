@@ -1,0 +1,65 @@
+"""Multi-head self-attention for the 3D ViT token stream.
+
+Two interchangeable implementations:
+- ``xla``: straightforward reference path (materializes the N x N scores);
+  used for parity checks and for training paths that need attention-prob
+  dropout.
+- ``flash``: blockwise Pallas kernel (ops/flash_attention.py) that never
+  materializes N^2 in HBM; the default on TPU for inference and
+  dropout-free training.
+
+Semantics match the reference Attention module (ref:
+src/model/vision_transformer.py:40-72): pre-norm happens in the caller;
+here we take q/k/v already projected, scale = dim_head ** -0.5, softmax,
+optional dropout on the attention probabilities, weighted sum.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gaviko_tpu.core.layers import RngStream, dropout
+
+_DEFAULT_IMPL = "xla"  # flipped to "flash" once the Pallas kernel lands
+
+
+def set_default_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    assert impl in ("xla", "flash")
+    _DEFAULT_IMPL = impl
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_enabled: bool = False,
+    rngs: Optional[RngStream] = None,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """q, k, v: [B, H, N, Dh] -> [B, H, N, Dh]."""
+    impl = impl or _DEFAULT_IMPL
+    use_dropout = dropout_enabled and dropout_rate > 0.0
+    if impl == "flash" and not use_dropout:
+        from gaviko_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(
+        q, k, v, scale=scale, dropout_rate=dropout_rate,
+        dropout_enabled=use_dropout, rngs=rngs,
+    )
+
+
+def _xla_attention(q, k, v, *, scale, dropout_rate, dropout_enabled, rngs):
+    dots = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
+    attn = dropout(attn, dropout_rate, dropout_enabled, rngs)
+    return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
