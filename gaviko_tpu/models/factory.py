@@ -45,6 +45,11 @@ def _trainable_bitfit(name: str, spec: ModelSpec) -> bool:
 
 def _trainable_gaviko(name: str, spec: ModelSpec) -> bool:
     # ref: gaviko.py:429-434 (applies only when freeze_vit).
+    # global_query/local_query are state_dict aliases of the fusion
+    # query_proj modules; torch named_parameters() dedups shared tensors to
+    # the first-registered name, so aliases never appear in tuning_params.
+    if ".global_query." in name or ".local_query." in name:
+        return False
     if not spec.freeze_vit:
         return True
     trainable = True
