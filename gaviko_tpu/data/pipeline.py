@@ -1,0 +1,156 @@
+"""Host-side data pipeline: npz volumes -> prefetched device batches.
+
+Replaces the reference's torch DataLoader + torchio workers (ref:
+src/data/dataset.py, src/train.py:65-78) with a thread-pooled numpy loader
+that overlaps disk IO + augmentation with device compute. Contract preserved:
+- CSV columns ``mri_path, kl_grade, subset``; subset split train/val/test
+- each .npz holds key ``data`` shaped (D, H, W); channel dim prepended
+- folder inference scans ``*.npz`` (ref: inference.py:141-158)
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class VolumeDataset:
+    paths: List[str]
+    labels: Optional[np.ndarray]  # None for prediction datasets
+    transform: Callable[..., np.ndarray]
+    train: bool = False
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def load(self, i: int, rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+        with np.load(self.paths[i]) as z:
+            vol = z["data"]
+        vol = np.expand_dims(vol, 0).astype(np.float32)  # (1, D, H, W)
+        if self.train:
+            return self.transform(vol, rng or np.random.RandomState())
+        return self.transform(vol)
+
+
+def split_dataframe(df, subset: str):
+    return df[df["subset"] == subset].reset_index(drop=True)
+
+
+def dataset_from_dataframe(
+    df, transform, train: bool, image_folder: Optional[str] = None
+) -> VolumeDataset:
+    paths = [
+        os.path.join(image_folder, p) if image_folder else p
+        for p in df["mri_path"].tolist()
+    ]
+    labels = np.asarray(df["kl_grade"].tolist()) if "kl_grade" in df else None
+    return VolumeDataset(paths=paths, labels=labels, transform=transform, train=train)
+
+
+def scan_folder(image_folder: str):
+    """Folder scan -> dataframe-like dict (ref: inference.py:141-158)."""
+    import pandas as pd
+
+    paths = [
+        os.path.join(image_folder, f)
+        for f in os.listdir(image_folder)
+        if f.endswith(".npz")
+    ]
+    return pd.DataFrame({"mri_path": paths})
+
+
+class Loader:
+    """Batched loader with worker threads + background prefetch of the next
+    batches. Yields (inputs [B,1,D,H,W] float32, labels [B] int32 | None).
+
+    The final partial batch is yielded as-is (like torch DataLoader
+    drop_last=False); callers that need static shapes for jit can pass
+    ``pad_to_batch=True`` to zero-pad it (with a valid-count mask returned).
+    """
+
+    def __init__(
+        self,
+        ds: VolumeDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 8,
+        seed: int = 0,
+        prefetch: int = 2,
+        pad_to_batch: bool = False,
+    ):
+        self.ds = ds
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.pad_to_batch = pad_to_batch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return (len(self.ds) + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> List[np.ndarray]:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self._epoch).shuffle(idx)
+        return [
+            idx[i : i + self.batch_size]
+            for i in range(0, len(idx), self.batch_size)
+        ]
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], int]]:
+        batches = self._batches()
+        self._epoch += 1
+        pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def assemble(bidx, epoch_seed):
+            rngs = [
+                np.random.RandomState((epoch_seed * 1_000_003 + int(i)) % (2**31))
+                for i in bidx
+            ]
+            vols = list(pool.map(self.ds.load, bidx, rngs))
+            n_valid = len(vols)
+            if self.pad_to_batch and n_valid < self.batch_size:
+                pad = [np.zeros_like(vols[0])] * (self.batch_size - n_valid)
+                vols = vols + pad
+            inputs = np.stack(vols)
+            labels = None
+            if self.ds.labels is not None:
+                labels = np.asarray(self.ds.labels[bidx], dtype=np.int32)
+                if self.pad_to_batch and n_valid < self.batch_size:
+                    labels = np.concatenate(
+                        [labels, np.zeros(self.batch_size - n_valid, np.int32)]
+                    )
+            return inputs, labels, n_valid
+
+        def producer():
+            epoch_seed = self.seed + self._epoch
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    q.put(assemble(b, epoch_seed))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)

@@ -155,8 +155,12 @@ def apply(
     *,
     train: bool = False,
     rng: Optional[jax.Array] = None,
-    local_impl: str = "xla",
+    local_impl: Optional[str] = None,
 ) -> jax.Array:
+    if local_impl is None:
+        from gaviko_tpu.ops import attention as attn_mod
+
+        local_impl = "flash" if attn_mod._DEFAULT_IMPL == "flash" else "xla"
     rngs = RngStream(rng)
     # Custom train() (gaviko.py:513-528): with freeze_vit the backbone
     # (global attns/mlps, conv, emb dropout) stays eval; local_attns,

@@ -23,7 +23,18 @@ import jax.numpy as jnp
 
 from gaviko_tpu.core.layers import RngStream, dropout
 
-_DEFAULT_IMPL = "xla"  # flipped to "flash" once the Pallas kernel lands
+def _initial_impl() -> str:
+    """Pallas kernels compiled on TPU; XLA path on CPU (tests/virtual mesh),
+    where the kernels would only run in slow interpret mode."""
+    import jax
+
+    try:
+        return "flash" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
+_DEFAULT_IMPL = _initial_impl()
 
 
 def set_default_impl(impl: str) -> None:

