@@ -128,8 +128,9 @@ class Loader:
             if self.ds.labels is not None:
                 labels = np.asarray(self.ds.labels[bidx], dtype=np.int32)
                 if self.pad_to_batch and n_valid < self.batch_size:
+                    # Padded rows get ignore_index so losses/accuracy skip them.
                     labels = np.concatenate(
-                        [labels, np.zeros(self.batch_size - n_valid, np.int32)]
+                        [labels, np.full(self.batch_size - n_valid, -100, np.int32)]
                     )
             return inputs, labels, n_valid
 

@@ -44,6 +44,15 @@ from gaviko_tpu.utils.logging import (
 from gaviko_tpu.weights.state_dict import filter_state
 
 
+def _gather_stats(step_stats):
+    """One batched D2H transfer for an epoch's (loss, correct) scalars."""
+    if not step_stats:
+        return np.zeros(0), np.zeros(0)
+    losses = np.asarray(jax.device_get(jnp.stack([s[0] for s in step_stats])))
+    corrects = np.asarray(jax.device_get(jnp.stack([s[1] for s in step_stats])))
+    return losses.astype(np.float64), corrects.astype(np.float64)
+
+
 def split_params(model: Model, params: Dict) -> Tuple[Dict, Dict]:
     trainable = {k: v for k, v in params.items() if model.trainable(k)}
     frozen = {k: v for k, v in params.items() if not model.trainable(k)}
@@ -113,7 +122,6 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
     criterion = make_criterion(train_cfg)
     tx, sched = make_optimizer(train_cfg, total_steps)
     compute_dtype = jnp.bfloat16 if train_cfg.get("precision") == "bf16" else jnp.float32
-    train_step, eval_step, _ = make_steps(model, criterion, tx, compute_dtype)
 
     trainable, frozen = split_params(model, params)
     n_tr = sum(int(np.prod(v.shape)) for v in trainable.values())
@@ -122,14 +130,46 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
         f"({n_tr:,} elements); {len(frozen)} frozen tensors."
     )
     opt_state = tx.init(trainable)
+
+    # Multi-chip: mesh-sharded DP(xTP) train step — the TPU-native stand-in
+    # for the reference's optional DeepSpeed engine (train.py:232-243).
+    par_cfg = train_cfg.get("parallel") or {}
+    if par_cfg.get("enabled"):
+        from gaviko_tpu.parallel.mesh import make_mesh, make_parallel_train_step
+
+        n_dev = len(jax.devices())
+        model_ax = int(par_cfg.get("model", 1))
+        data_ax = par_cfg.get("data", "auto")
+        data_ax = n_dev // model_ax if data_ax == "auto" else int(data_ax)
+        mesh = make_mesh(data=data_ax, model=model_ax)
+        logging.info(f"Parallel training on mesh data={data_ax} x model={model_ax}")
+        train_step, (trainable, frozen, opt_state) = make_parallel_train_step(
+            model, criterion, tx, mesh, trainable, frozen, opt_state,
+            tp=model_ax > 1, zero=par_cfg.get("zero", True),
+            compute_dtype=compute_dtype,
+        )
+        _, eval_step, _ = make_steps(model, criterion, tx, compute_dtype)
+    else:
+        train_step, eval_step, _ = make_steps(model, criterion, tx, compute_dtype)
+
     rng = jax.random.PRNGKey(train_cfg.get("seed", 0))
     memory_logger = MemoryUsageLogger(verbose=train_cfg.get("memory_verbose", False))
+
+    # Debug/observability (SURVEY.md §5): jit-purity NaN checking is the
+    # JAX analog of a sanitizer; jax.profiler is the timeline tracer.
+    if train_cfg.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
+    prof_cfg = train_cfg.get("profile") or {}
+    prof_start = int(prof_cfg.get("start_step", 10)) if prof_cfg.get("enabled") else -1
+    prof_steps = int(prof_cfg.get("num_steps", 3))
+    prof_dir = os.path.join(config["utils"]["log_dir"], "profile")
 
     val_acc_max = 0.0
     best_epoch = 0
     epoch_since_improvement = 0
     patience = train_cfg["patience"]
     current_epoch = 0
+    start_epoch = 0
     val_acc = val_loss = train_acc = train_loss = 0.0
     val_step_acc = val_step_loss = train_step_acc = train_step_loss = 0.0
     train_step_n = val_step_n = 0
@@ -137,13 +177,53 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
     best_ckpt_path = None
     global_step = 0
 
-    for epoch in range(num_epochs):
-        num_acc = 0.0
-        running_loss = 0.0
+    # Mid-training resume (capability absent in the reference; SURVEY.md §5).
+    resume_path = train_cfg.get("resume")
+    method = config["model"]["method"]
+    resume_dir = os.path.join(train_cfg["save_dir"], "experiments", method)
+    auto_resume = os.path.join(resume_dir, "resume_state.npz")
+    if resume_path == "auto" and os.path.exists(auto_resume):
+        resume_path = auto_resume
+    if resume_path and resume_path != "auto" and os.path.exists(resume_path):
+        from gaviko_tpu.utils.checkpoint import load_train_state
+
+        trainable, opt_state, meta = load_train_state(resume_path, trainable, opt_state)
+        start_epoch = meta["epoch"]
+        current_epoch = meta["epoch"]
+        global_step = meta["global_step"]
+        val_acc_max = meta["best_val_acc"]
+        best_epoch = meta["best_epoch"]
+        epoch_since_improvement = meta["epoch_since_improvement"]
+        logging.info(f"Resumed from {resume_path} at epoch {start_epoch}")
+
+    from gaviko_tpu.train.schedule import onecycle_cos_host
+
+    sch_cfg = train_cfg["scheduler"]
+    sched_host = onecycle_cos_host(
+        sch_cfg["max_lr"], total_steps, sch_cfg.get("pct_start", 0.3),
+        sch_cfg.get("div_factor", 25.0), sch_cfg.get("final_div_factor", 1e4),
+    )
+
+    def _base_row():
+        return {
+            "train_epoch_acc": train_acc, "train_epoch_loss": train_loss,
+            "val_epoch_acc": val_acc, "val_epoch_loss": val_loss,
+            "best_epoch": best_epoch, "best_val_acc": val_acc_max,
+            "time_stamp": time_stamp, "epoch": current_epoch,
+        }
+
+    for epoch in range(start_epoch, num_epochs):
         t_epoch = time.time()
+        # Metric scalars stay on device during the hot loop; the only
+        # per-step host work is dispatch, so H2D/compute pipeline freely
+        # (per-step float() syncs would stall ~25 ms each on this relay).
+        step_stats = []  # (loss_dev, correct_dev, batch_size)
         for index, (inputs, labels, n_valid) in enumerate(train_loader):
             memory_logger.index = index
             memory_logger.display_before_forward_pass()
+            if global_step == prof_start:
+                jax.profiler.start_trace(prof_dir)
+                logging.info(f"Profiler trace started -> {prof_dir}")
             step_rng = jax.random.fold_in(rng, global_step)
             inputs = jnp.asarray(inputs)
             labels = jnp.asarray(labels)
@@ -152,29 +232,32 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
                 trainable, opt_state, frozen, inputs, labels, step_rng
             )
             memory_logger.display_after_optimization_step()
-            current_lr = float(sched(global_step))
             global_step += 1
-            loss_v = float(loss)
-            running_loss += loss_v * inputs.shape[0]
-            num_acc += float(correct)
+            step_stats.append((loss, correct, inputs.shape[0]))
+            if prof_start >= 0 and global_step == prof_start + prof_steps:
+                jax.tree.leaves(trainable)[0].block_until_ready()
+                jax.profiler.stop_trace()
+                logging.info("Profiler trace stopped")
+        losses, corrects = _gather_stats(step_stats)
+        current_lr = sched_host(max(global_step - 1, 0))
+        num_acc = 0.0
+        running_loss = 0.0
+        for index, ((loss_v, correct_v), (_, _, bs)) in enumerate(
+            zip(zip(losses, corrects), step_stats)
+        ):
+            running_loss += loss_v * bs
+            num_acc += correct_v
             # Reference per-step normalization quirk (train.py:329-330).
             train_step_acc = num_acc / (train_len * (epoch + 1))
             train_step_loss = running_loss / (train_len * (epoch + 1))
             train_step_n = epoch * len(train_loader) + index + 1
             csv_logger.log({
-                "epoch": current_epoch,
+                **_base_row(),
                 "train_step_acc": train_step_acc,
                 "train_step_loss": train_step_loss,
-                "train_epoch_acc": train_acc,
-                "train_epoch_loss": train_loss,
                 "val_step_acc": val_step_acc,
                 "val_step_loss": val_step_loss,
-                "val_epoch_acc": val_acc,
-                "val_epoch_loss": val_loss,
-                "lr": current_lr,
-                "best_epoch": best_epoch,
-                "best_val_acc": val_acc_max,
-                "time_stamp": time_stamp,
+                "lr": sched_host(epoch * len(train_loader) + index),
                 "train_step": train_step_n,
                 "val_step": val_step_n,
             })
@@ -186,8 +269,7 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
         )
 
         # ---- validation ----
-        num_val_acc = 0.0
-        running_val_loss = 0.0
+        val_stats = []
         for index_val, (inputs, labels, n_valid) in enumerate(val_loader):
             inputs = jnp.asarray(inputs)
             labels = jnp.asarray(labels)
@@ -199,25 +281,25 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
                 n_total = sum(int(np.prod(v.shape)) for v in {**frozen, **trainable}.values())
                 analyze_model_computation(n_total, flops, verbose=True)
                 flops_done = True
-            running_val_loss += float(loss) * inputs.shape[0]
-            num_val_acc += float(correct)
+            val_stats.append((loss, correct, inputs.shape[0]))
+        val_losses, val_corrects = _gather_stats(val_stats)
+        num_val_acc = 0.0
+        running_val_loss = 0.0
+        for index_val, ((loss_v, correct_v), (_, _, bs)) in enumerate(
+            zip(zip(val_losses, val_corrects), val_stats)
+        ):
+            running_val_loss += loss_v * bs
+            num_val_acc += correct_v
             val_step_acc = num_val_acc / (val_len * (epoch + 1))
             val_step_loss = running_val_loss / (val_len * (epoch + 1))
             val_step_n = epoch * len(val_loader) + index_val + 1
             csv_logger.log({
-                "epoch": current_epoch,
+                **_base_row(),
                 "train_step_acc": train_step_acc,
                 "train_step_loss": train_step_loss,
-                "train_epoch_acc": train_acc,
-                "train_epoch_loss": train_loss,
                 "val_step_acc": val_step_acc,
                 "val_step_loss": val_step_loss,
-                "val_epoch_acc": val_acc,
-                "val_epoch_loss": val_loss,
                 "lr": current_lr,
-                "best_epoch": best_epoch,
-                "best_val_acc": val_acc_max,
-                "time_stamp": time_stamp,
                 "train_step": train_step_n,
                 "val_step": val_step_n,
             })
@@ -257,6 +339,23 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
             f"Epoch {epoch + 1}: loss {train_loss:.4f} acc {train_acc*100:.2f}% | "
             f"val loss {val_loss:.4f} val acc {val_acc*100:.2f}%"
         )
+
+        if train_cfg.get("save_resume_state", True):
+            from gaviko_tpu.utils.checkpoint import save_train_state
+
+            os.makedirs(resume_dir, exist_ok=True)
+            save_train_state(
+                os.path.join(resume_dir, "resume_state.npz"),
+                {k: np.asarray(v) for k, v in trainable.items()},
+                jax.tree.map(np.asarray, opt_state),
+                meta={
+                    "epoch": current_epoch,
+                    "global_step": global_step,
+                    "best_val_acc": val_acc_max,
+                    "best_epoch": best_epoch,
+                    "epoch_since_improvement": epoch_since_improvement,
+                },
+            )
 
     logging.info("Training completed.")
     return {

@@ -67,11 +67,16 @@ def focal_loss(
     return loss
 
 
-def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Mean CE, matching torch nn.CrossEntropyLoss defaults."""
+def cross_entropy_loss(
+    logits: jax.Array, labels: jax.Array, ignore_index: int = -100
+) -> jax.Array:
+    """Mean CE over non-ignored rows (torch nn.CrossEntropyLoss defaults)."""
+    mask = labels == ignore_index
+    safe = jnp.where(mask, 0, labels)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    return nll.mean()
+    nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+    nll = jnp.where(mask, 0.0, nll)
+    return nll.sum() / jnp.maximum((~mask).sum(), 1)
 
 
 def make_criterion(train_cfg: dict):

@@ -39,6 +39,36 @@ def onecycle_cos(
     return schedule
 
 
+def onecycle_cos_host(
+    max_lr: float,
+    total_steps: int,
+    pct_start: float = 0.3,
+    div_factor: float = 25.0,
+    final_div_factor: float = 1e4,
+):
+    """Pure-python twin of onecycle_cos for host-side logging (avoids a
+    device round trip per step)."""
+    import math
+
+    initial_lr = max_lr / div_factor
+    min_lr = initial_lr / final_div_factor
+    up_steps = float(pct_start * total_steps) - 1.0
+    down_steps = float(total_steps - up_steps - 1.0)
+
+    def _anneal(start, end, pct):
+        return end + (start - end) / 2.0 * (1.0 + math.cos(math.pi * pct))
+
+    def schedule(count: int) -> float:
+        c = min(float(count), total_steps - 1.0)
+        if c <= up_steps:
+            pct = min(max(c / max(up_steps, 1e-9), 0.0), 1.0)
+            return _anneal(initial_lr, max_lr, pct)
+        pct = min(max((c - up_steps) / max(down_steps, 1e-9), 0.0), 1.0)
+        return _anneal(max_lr, min_lr, pct)
+
+    return schedule
+
+
 def from_config(sch_cfg: dict, total_steps: int):
     assert sch_cfg.get("anneal_strategy", "cos") == "cos", "only cos supported"
     assert not sch_cfg.get("three_phase", False), "three_phase not supported"

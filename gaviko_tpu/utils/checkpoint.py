@@ -1,0 +1,50 @@
+"""Mid-training resume state (a capability the reference lacks entirely —
+SURVEY.md §5 'no mid-training resume': its checkpoints hold trainable params
+only, no optimizer/scheduler state).
+
+The full train state (trainable params, optax state, step counters, best-val
+bookkeeping, PRNG seed) is serialized to a single .npz: pytrees are
+flattened to leaves; on load the structure comes from a freshly-initialized
+template built from the same config, so the file format is independent of
+optax internals.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def save_train_state(path: str, trainable: Dict, opt_state: Any, meta: Dict) -> None:
+    payload = {}
+    for k, v in trainable.items():
+        payload[f"param::{k}"] = np.asarray(v)
+    leaves = jax.tree.leaves(opt_state)
+    for i, leaf in enumerate(leaves):
+        payload[f"opt::{i}"] = np.asarray(leaf)
+    payload["meta::json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez(path, **payload)
+
+
+def load_train_state(
+    path: str, trainable_template: Dict, opt_state_template: Any
+) -> Tuple[Dict, Any, Dict]:
+    with np.load(path) as z:
+        trainable = {}
+        for k in trainable_template:
+            arr = z[f"param::{k}"]
+            assert arr.shape == tuple(trainable_template[k].shape), k
+            trainable[k] = jax.numpy.asarray(arr)
+        t_leaves, treedef = jax.tree.flatten(opt_state_template)
+        leaves = []
+        for i, tmpl in enumerate(t_leaves):
+            arr = z[f"opt::{i}"]
+            leaves.append(jax.numpy.asarray(arr).astype(np.asarray(tmpl).dtype))
+        opt_state = jax.tree.unflatten(treedef, leaves)
+        meta = json.loads(bytes(z["meta::json"]).decode())
+    return trainable, opt_state, meta

@@ -17,7 +17,10 @@ import numpy as np
 def save_pt(path: str, state: Mapping[str, np.ndarray]) -> None:
     import torch
 
-    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in state.items()}, path)
+    torch.save(
+        {k: torch.from_numpy(np.array(v, copy=True)) for k, v in state.items()},
+        path,
+    )
 
 
 def load_pt(path: str) -> Dict[str, np.ndarray]:

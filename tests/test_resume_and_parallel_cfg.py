@@ -1,0 +1,48 @@
+"""Mid-training resume + config-driven parallel training."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.test_end_to_end import make_synth_dataset, tiny_config
+
+
+def test_resume_roundtrip(tmp_path):
+    import train as train_mod
+
+    root = str(tmp_path)
+    csv_path, volumes = make_synth_dataset(root)
+    config = tiny_config(root, csv_path, volumes, method="bitfit", epochs=2)
+
+    r1 = train_mod.train(config)
+    state_path = os.path.join(
+        root, "weights", "experiments", "bitfit", "resume_state.npz"
+    )
+    assert os.path.exists(state_path)
+
+    # Continue to epoch 4 from the saved state.
+    config2 = tiny_config(root, csv_path, volumes, method="bitfit", epochs=4)
+    config2["train"]["resume"] = "auto"
+    r2 = train_mod.train(config2)
+    assert r2["best_val_acc"] >= r1["best_val_acc"]
+    # Resumed run should only run epochs 2..3.
+    log = pd.read_csv(r2["csv_log"])
+    assert log["epoch"].min() == 2
+
+
+def test_parallel_training_via_config(tmp_path):
+    import train as train_mod
+
+    root = str(tmp_path)
+    csv_path, volumes = make_synth_dataset(root, n_train=8, n_val=4)
+    config = tiny_config(root, csv_path, volumes, method="bitfit", epochs=1)
+    config["data"]["batch_size"] = 4
+    config["train"]["parallel"] = {"enabled": True, "data": 4, "model": 2,
+                                   "zero": True}
+    result = train_mod.train(config)
+    assert result["best_ckpt_path"] is None or os.path.exists(result["best_ckpt_path"])
+    log = pd.read_csv(result["csv_log"])
+    assert len(log) > 0
+    assert np.isfinite(log["train_step_loss"]).all()

@@ -82,12 +82,17 @@ def main():
                         help="Model to train")
     parser.add_argument("--results_dir", type=str, default=None,
                         help="Directory to save results")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Path to a resume_state.npz, or 'auto' to pick up "
+                             "the latest state in save_dir")
     args = parser.parse_args()
 
     config = load_config(args.config)
     apply_method_override(config, args.method)
     if args.results_dir is not None:
         config["train"]["save_dir"] = args.results_dir
+    if args.resume is not None:
+        config["train"]["resume"] = args.resume
     setup_logging(log_dir=config["utils"]["log_dir"])
     logging.info(f"Config: {config}")
     train(config)
