@@ -21,7 +21,14 @@ import numpy as np
 
 
 def rescale_intensity(x: np.ndarray, out_min: float = 0.0, out_max: float = 1.0) -> np.ndarray:
-    """Min-max rescale to [out_min, out_max] (torchio RescaleIntensity)."""
+    """Min-max rescale to [out_min, out_max] (torchio RescaleIntensity).
+
+    Dispatches to the multithreaded C++ core (native/loader_core.cpp) when
+    built; numpy otherwise — identical semantics either way."""
+    from gaviko_tpu.data import native_loader
+
+    if native_loader.native_available():
+        return native_loader.rescale_intensity_native(x, out_min, out_max)
     x = np.asarray(x, dtype=np.float32)
     lo = x.min()
     hi = x.max()

@@ -49,14 +49,22 @@ def apply(
     x = vit_core.patchify_embed(params, "conv_proj.0", img, spec)
     x = vit_core.add_cls_and_pos(params, x)
     x = dropout(x, spec.emb_dropout, bb_train, rngs)
+    # One-time tile pad (adapter/MLP are per-row, so pad rows are inert).
+    n_true = x.shape[1]
+    pad = (-n_true) % 8
+    if pad:
+        x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
     for i in range(spec.depth):
         x = vit_core.attention_block(
-            params, f"transformer.layers.{i}.0", x, spec, train=bb_train, rngs=rngs
+            params, f"transformer.layers.{i}.0", x, spec, train=bb_train,
+            rngs=rngs, n_true=n_true,
         ) + x
         residual = _adapter(params, f"transformer.layers.{i}.1", x)
         x = vit_core.feedforward_block(
             params, f"transformer.layers.{i}.2", x, spec, train=bb_train, rngs=rngs
         ) + x + residual
+    if pad:
+        x = x[:, :n_true]
     x = layer_norm(params, "transformer.norm", x)
     return vit_core.pool_and_head(params, x, spec)
 

@@ -53,6 +53,11 @@ def fft_highpass(x: jax.Array, rate: float) -> jax.Array:
 def _patch_embed_conv(p: Params, prefix: str, img: jax.Array, spec: ModelSpec) -> jax.Array:
     """PatchEmbed conv (kernel == stride) -> [B, N, out_dim] tokens, same
     reshape+GEMM lowering as the core patchify."""
+    from gaviko_tpu.ops import attention as attn_mod
+    from gaviko_tpu.ops.patchify import patchify_fused, patchify_supported
+
+    if attn_mod._DEFAULT_IMPL == "flash" and patchify_supported(spec):
+        return patchify_fused(img, p[f"{prefix}.weight"], p[f"{prefix}.bias"], spec)
     B, C, D, H, W = img.shape
     pd = spec.frame_patch_size
     ph, pw = spec.image_patch_size

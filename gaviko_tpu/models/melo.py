@@ -42,6 +42,10 @@ def apply(
     x = vit_core.patchify_embed(vt, "conv_proj.0", img, spec)
     x = vit_core.add_cls_and_pos(vt, x)
     x = dropout(x, spec.emb_dropout, train, rngs)
+    n_true = x.shape[1]
+    pad = (-n_true) % 8
+    if pad:
+        x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
     for i in range(spec.depth):
         a = f"transformer.layers.{i}.0"
         if i in lora:
@@ -58,14 +62,19 @@ def apply(
                 return jnp.concatenate([q, k, v], axis=-1)
 
             x = vit_core.attention_block(
-                vt, a, x, spec, train=train, rngs=rngs, qkv_override=qkv_override
+                vt, a, x, spec, train=train, rngs=rngs,
+                qkv_override=qkv_override, n_true=n_true,
             ) + x
         else:
             # Un-adapted layers keep the plain name (to_qkv.weight).
-            x = vit_core.attention_block(vt, a, x, spec, train=train, rngs=rngs) + x
+            x = vit_core.attention_block(
+                vt, a, x, spec, train=train, rngs=rngs, n_true=n_true
+            ) + x
         x = vit_core.feedforward_block(
             vt, f"transformer.layers.{i}.1", x, spec, train=train, rngs=rngs
         ) + x
+    if pad:
+        x = x[:, :n_true]
     x = layer_norm(vt, "transformer.norm", x)
     return vit_core.pool_and_head(vt, x, spec)
 

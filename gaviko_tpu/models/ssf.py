@@ -33,23 +33,45 @@ def _ssf(p: Params, prefix: str, idx: int, x: jax.Array) -> jax.Array:
     return ssf_ada(x, p[f"{prefix}.ssf_scale_{idx}"], p[f"{prefix}.ssf_shift_{idx}"])
 
 
-def _attn_block(p, prefix, x, spec, *, train, rngs):
+def _attn_block(p, prefix, x, spec, *, train, rngs, n_true=None):
     h = layer_norm(p, f"{prefix}.norm", x)
     h = _ssf(p, prefix, 0, h)
     qkv = h @ p[f"{prefix}.to_qkv.weight"].T
-    qkv = _ssf(p, prefix, 1, qkv)
+    qkv = _ssf(p, prefix, 1, qkv)  # elementwise on the packed qkv layout
     B, N, _ = qkv.shape
     heads, dh = spec.heads, spec.dim_head
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    n_true = N if n_true is None else n_true
 
-    def to_heads(t):
-        return t.reshape(B, N, heads, dh).transpose(0, 2, 1, 3)
+    from gaviko_tpu.ops import attention as attn_mod
+    from gaviko_tpu.ops.flash_attention import fused_mhsa, fused_mhsa_supported
 
-    out = multi_head_attention(
-        to_heads(q), to_heads(k), to_heads(v), scale=dh ** -0.5,
-        dropout_rate=spec.dropout, dropout_enabled=train, rngs=rngs,
-    )
-    out = out.transpose(0, 2, 1, 3).reshape(B, N, heads * dh)
+    if (
+        attn_mod._DEFAULT_IMPL == "flash"
+        and not (train and spec.dropout > 0.0)
+        and fused_mhsa_supported(heads, dh, N)
+    ):
+        padr = (-N) % 8
+        if padr:
+            qkv = jnp.pad(qkv, [(0, 0), (0, padr), (0, 0)])
+        out = fused_mhsa(qkv, heads, dh, dh ** -0.5, n_true)
+        if padr:
+            out = out[:, :N]
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def to_heads(t):
+            return t.reshape(B, N, heads, dh).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+        if n_true != N:
+            qh, kh, vh = qh[:, :, :n_true], kh[:, :, :n_true], vh[:, :, :n_true]
+        out = multi_head_attention(
+            qh, kh, vh, scale=dh ** -0.5,
+            dropout_rate=spec.dropout, dropout_enabled=train, rngs=rngs,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, -1, heads * dh)
+        if n_true != N:
+            out = jnp.pad(out, [(0, 0), (0, N - n_true), (0, 0)])
     out = linear(p, f"{prefix}.to_out.0", out)
     out = _ssf(p, prefix, 2, out)
     return dropout(out, spec.dropout, train, rngs)
@@ -84,9 +106,16 @@ def apply(
     x = ssf_ada(x, params["ssf_scale_1"], params["ssf_shift_1"])
     x = vit_core.add_cls_and_pos(params, x)
     x = dropout(x, spec.emb_dropout, bb_train, rngs)
+    n_true = x.shape[1]
+    pad = (-n_true) % 8
+    if pad:
+        x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
     for i in range(spec.depth):
-        x = _attn_block(params, f"transformer.layers.{i}.0", x, spec, train=bb_train, rngs=rngs) + x
+        x = _attn_block(params, f"transformer.layers.{i}.0", x, spec,
+                        train=bb_train, rngs=rngs, n_true=n_true) + x
         x = _ff_block(params, f"transformer.layers.{i}.1", x, spec, train=bb_train, rngs=rngs) + x
+    if pad:
+        x = x[:, :n_true]
     x = layer_norm(params, "transformer.norm", x)
     x = ssf_ada(x, params["transformer.ssf_scale_1"], params["transformer.ssf_shift_1"])
     return vit_core.pool_and_head(params, x, spec)

@@ -187,6 +187,127 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Layout-native fused MHSA: consumes the qkv projection output directly
+# ---------------------------------------------------------------------------
+#
+# The [B, N, 3*H*D] qkv tensor is read head-pair-wise via BlockSpec index
+# maps — no split/transpose/reshape HLOs around the kernel (profiling showed
+# those copies cost ~20% of a vit-b16 forward). Two heads per program keep
+# the lane dim at 128 (Mosaic requires last block dim % 128).
+
+def _fused_mhsa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_true, hp, dim_head):
+    for j in range(hp):
+        sl = slice(j * dim_head, (j + 1) * dim_head)
+        s = jax.lax.dot_general(
+            q_ref[:, sl], k_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if k_ref.shape[0] != n_true:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_true, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, sl] = (o / l).astype(o_ref.dtype)
+
+
+def fused_mhsa_supported(heads: int, dim_head: int, N: int) -> bool:
+    return (
+        heads % 2 == 0
+        and (2 * dim_head) % 128 == 0
+        and N <= WHOLE_K_MAX
+    )
+
+
+def _pick_block_q(n_pad: int, hp: int) -> int:
+    """Largest divisor of n_pad (multiple of 8) keeping the f32 score block
+    under ~4.5 MB VMEM."""
+    bq = n_pad
+    while bq * n_pad * 4 > 4_500_000:
+        half = bq // 2
+        if half % 8 != 0 or n_pad % half != 0:
+            break
+        bq = half
+    return bq
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def fused_mhsa(qkv, heads: int, dim_head: int, scale: float, n_true: int):
+    """qkv: [B, N_pad, 3*heads*dim_head] -> [B, N_pad, heads*dim_head].
+
+    Rows >= n_true are padding: they may hold garbage on output (their
+    queries still attend real keys) but never influence rows < n_true.
+    """
+    return _fused_mhsa_forward(qkv, heads, dim_head, scale, n_true)
+
+
+def _fused_mhsa_forward(qkv, heads, dim_head, scale, n_true):
+    B, n_pad, three_inner = qkv.shape
+    inner = three_inner // 3
+    hp = 2
+    nh = heads // hp
+    block_q = _pick_block_q(n_pad, hp)
+    grid = (B, nh, n_pad // block_q)
+    hd = hp * dim_head
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_mhsa_kernel, scale=scale, n_true=n_true, hp=hp,
+            dim_head=dim_head,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, hd), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_pad, hd), lambda b, h, i: (b, 0, nh + h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_pad, hd), lambda b, h, i: (b, 0, 2 * nh + h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, hd), lambda b, h, i: (b, i, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, inner), qkv.dtype),
+        interpret=_use_interpret(),
+    )(qkv, qkv, qkv)
+    return out
+
+
+def _fused_mhsa_fwd(qkv, heads, dim_head, scale, n_true):
+    return _fused_mhsa_forward(qkv, heads, dim_head, scale, n_true), (qkv,)
+
+
+def _fused_mhsa_bwd(heads, dim_head, scale, n_true, res, g):
+    (qkv,) = res
+    B, n_pad, three_inner = qkv.shape
+    inner = three_inner // 3
+
+    def ref(qkv):
+        def to_heads(t):
+            return t.reshape(B, n_pad, heads, dim_head).transpose(0, 2, 1, 3)
+
+        q = to_heads(qkv[..., :inner])
+        k = to_heads(qkv[..., inner:2 * inner])
+        v = to_heads(qkv[..., 2 * inner:])
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        if n_pad != n_true:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+            s = jnp.where(col < n_true, s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+        return o.transpose(0, 2, 1, 3).reshape(B, n_pad, inner)
+
+    _, vjp = jax.vjp(ref, qkv)
+    return vjp(g)
+
+
+fused_mhsa.defvjp(_fused_mhsa_fwd, _fused_mhsa_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Masked local attention (GAViKO 3D window), single head
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,143 @@
+"""Pallas patchify-embed kernel: non-overlapping 3D conv as VMEM gather + GEMM.
+
+The reference's Conv3d(kernel == stride) patch embed (vision_transformer.py:
+126-128) is a pure patch-gather + matmul. XLA's lowerings are all bad on TPU
+for this shape: the 8D-transpose path costs ~5 ms per batch-8 forward (8x
+HBM roofline — the transpose interleaves 16-element lane fragments), and
+conv_general_dilated is 13-15 ms in either layout. This kernel keeps the
+interleave inside VMEM using only Mosaic-supported ops:
+
+1. collapse (pd, ph) leading dims (contiguous reshape),
+2. permute lanes W=(gw,pw) -> (pw,gw) with a 160x160 permutation MATMUL
+   (lane shuffles are free on the MXU, illegal as a vector shape cast),
+3. one 2D transpose -> rows (pw, gw),
+4. static strided copies into a scratch laid out rows=(pw, gh, gw),
+5. per-pw GEMM accumulation against per-pw weight slices.
+
+Column order of each GEMM is (pd, ph); the weight tensor is pre-arranged to
+(pw, pd*ph, dim) outside the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _patchify_kernel(x_ref, w_ref, b_ref, perm_ref, o_ref, rows_ref,
+                     *, gh, gw, ph, pw, pd):
+    # x_ref: (pd, H, W) slab; rows_ref scratch: (pw, gh*gw, pd*ph)
+    for g in range(gh):
+        sl = x_ref[:, g * ph:(g + 1) * ph, :]          # (pd, ph, W)
+        z = sl.reshape(pd * ph, gw * pw)               # leading collapse
+        z = jax.lax.dot_general(                        # lanes (gw,pw)->(pw,gw)
+            z, perm_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(sl.dtype)
+        zt = z.T                                       # (W, pd*ph), rows (pw, gw)
+        for q in range(pw):
+            rows_ref[q, g * gw:(g + 1) * gw, :] = zt[q * gw:(q + 1) * gw, :]
+    acc = jnp.zeros((gh * gw, o_ref.shape[-1]), jnp.float32)
+    for q in range(pw):
+        acc = acc + jax.lax.dot_general(
+            rows_ref[q], w_ref[q], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[:] = acc.astype(o_ref.dtype) + b_ref[:]
+
+
+def patchify_supported(spec) -> bool:
+    return spec.channels == 1
+
+
+@functools.lru_cache(maxsize=4)
+def _perm_matrix(gw: int, pw: int) -> np.ndarray:
+    """(W, W) permutation: column (q*gw + g) selects input lane (g*pw + q)."""
+    W = gw * pw
+    P = np.zeros((W, W), np.float32)
+    for g in range(gw):
+        for q in range(pw):
+            P[g * pw + q, q * gw + g] = 1.0
+    return P
+
+
+def _patchify_reference(img, weight, bias, spec):
+    """XLA reshape-path reference (used for the VJP and CPU checks)."""
+    B, C, D, H, W = img.shape
+    pd = spec.frame_patch_size
+    ph, pw = spec.image_patch_size
+    gd, gh, gw = D // pd, H // ph, W // pw
+    x = img.reshape(B, C, gd, pd, gh, ph, gw, pw)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7).reshape(B, gd * gh * gw, -1)
+    y = jnp.einsum(
+        "bnk,dk->bnd", x, weight.reshape(weight.shape[0], -1),
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(img.dtype) + bias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def patchify_fused(img, weight, bias, spec):
+    """Differentiable wrapper: Pallas forward, rematerialized XLA backward."""
+    return patchify_pallas(img, weight, bias, spec)
+
+
+def _patchify_fwd(img, weight, bias, spec):
+    return patchify_pallas(img, weight, bias, spec), (img, weight, bias)
+
+
+def _patchify_bwd(spec, res, g):
+    img, weight, bias = res
+    _, vjp = jax.vjp(lambda i, w, b: _patchify_reference(i, w, b, spec),
+                     img, weight, bias)
+    return vjp(g)
+
+
+patchify_fused.defvjp(_patchify_fwd, _patchify_bwd)
+
+
+def patchify_pallas(img: jax.Array, weight: jax.Array, bias: jax.Array, spec) -> jax.Array:
+    """img [B, 1, D, H, W], weight (dim, 1, pd, ph, pw) -> [B, N, dim]."""
+    B, C, D, H, W = img.shape
+    pd = spec.frame_patch_size
+    ph, pw = spec.image_patch_size
+    gd, gh, gw = D // pd, H // ph, W // pw
+    dim = weight.shape[0]
+    # (dim, pd, ph, pw) -> (pw, pd*ph, dim): per-pw GEMM slices with (pd, ph)
+    # column order matching the kernel's (pd*ph) rows layout.
+    w2 = weight[:, 0].transpose(3, 1, 2, 0).reshape(pw, pd * ph, dim)
+    w2 = w2.astype(img.dtype)
+    b2 = bias.reshape(1, dim).astype(img.dtype)
+    perm = jnp.asarray(_perm_matrix(gw, pw), img.dtype)
+
+    x = img.reshape(B, gd, pd, H, W)  # contiguous split of D
+    out = pl.pallas_call(
+        functools.partial(_patchify_kernel, gh=gh, gw=gw, ph=ph, pw=pw, pd=pd),
+        grid=(B, gd),
+        in_specs=[
+            pl.BlockSpec((None, None, pd, H, W), lambda b, d: (b, d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pw, pd * ph, dim), lambda b, d: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda b, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W), lambda b, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, None, gh * gw, dim),
+                               lambda b, d: (b, d, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, gd, gh * gw, dim), img.dtype),
+        scratch_shapes=[pltpu.VMEM((pw, gh * gw, pd * ph), img.dtype)],
+        interpret=_use_interpret(),
+    )(x, w2, b2, perm)
+    return out.reshape(B, gd * gh * gw, dim)

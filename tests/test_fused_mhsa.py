@@ -1,0 +1,85 @@
+"""Fused layout-native MHSA: correctness (interpret mode) + model integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gaviko_tpu.models.factory import build_model
+from gaviko_tpu.ops import attention as attn_mod
+from gaviko_tpu.ops.attention import _xla_attention
+from gaviko_tpu.ops.flash_attention import fused_mhsa, fused_mhsa_supported
+
+from tests.torch_ref import TINY_MODEL_CFG
+
+
+def test_fused_matches_xla():
+    B, H, N, D = 2, 4, 48, 64
+    n_pad = 48
+    rng = np.random.RandomState(0)
+    inner = H * D
+    qkv = jnp.asarray(rng.randn(B, n_pad, 3 * inner).astype(np.float32))
+    n_true = 41
+
+    got = fused_mhsa(qkv, H, D, D ** -0.5, n_true)
+
+    def to_heads(t):
+        return t.reshape(B, n_pad, H, D).transpose(0, 2, 1, 3)
+
+    q = to_heads(qkv[..., :inner])[:, :, :n_true]
+    k = to_heads(qkv[..., inner:2 * inner])[:, :, :n_true]
+    v = to_heads(qkv[..., 2 * inner:])[:, :, :n_true]
+    want = _xla_attention(q, k, v, scale=D ** -0.5, dropout_rate=0,
+                          dropout_enabled=False, rngs=None)
+    want = want.transpose(0, 2, 1, 3).reshape(B, n_true, inner)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :n_true], np.asarray(want), atol=2e-5
+    )
+
+
+def test_fused_gradients_match():
+    B, H, N, D = 1, 2, 24, 64
+    inner = H * D
+    rng = np.random.RandomState(1)
+    qkv = jnp.asarray(rng.randn(B, N, 3 * inner).astype(np.float32))
+
+    def loss_fused(qkv):
+        return jnp.sum(fused_mhsa(qkv, H, D, 0.125, N) ** 2)
+
+    def loss_ref(qkv):
+        def to_heads(t):
+            return t.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+
+        q, k, v = (to_heads(qkv[..., i * inner:(i + 1) * inner]) for i in range(3))
+        o = _xla_attention(q, k, v, scale=0.125, dropout_rate=0,
+                           dropout_enabled=False, rngs=None)
+        return jnp.sum(o ** 2)
+
+    g1 = jax.grad(loss_fused)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-5)
+
+
+def test_model_parity_with_flash_default(tmp_path):
+    """Force the flash/fused path (interpret mode on CPU) through the full
+    model and check logits against the XLA path."""
+    cfg = {**TINY_MODEL_CFG, "backbone": "vit-s16", "method": "fft"}
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), model.spec)
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 1, 24, 32, 32).astype(np.float32))
+
+    attn_mod.set_default_impl("xla")
+    want = model.apply(params, x, model.spec)
+    attn_mod.set_default_impl("flash")
+    try:
+        got = model.apply(params, x, model.spec)
+    finally:
+        attn_mod.set_default_impl("xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_supported_predicate():
+    assert fused_mhsa_supported(12, 64, 1001)
+    assert not fused_mhsa_supported(3, 64, 1001)  # vit-t16 odd heads
+    assert not fused_mhsa_supported(12, 64, 99999)
