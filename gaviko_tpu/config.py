@@ -97,6 +97,8 @@ class ModelSpec:
     # Freezing
     freeze_vit: bool = False
     fp16: bool = False
+    # 'exact' (torch-parity erf) or 'tanh' (deployment; ~25% cheaper MLP on VPU)
+    gelu: str = "exact"
     # --- method-specific ---
     # vpt
     num_prompts: int = 8
@@ -220,5 +222,6 @@ def make_spec(model_cfg: dict) -> ModelSpec:
         emb_dropout=model_cfg.get("emb_dropout", 0.0),
         freeze_vit=model_cfg.get("freeze_vit", False),
         fp16=model_cfg.get("fp16", False),
+        gelu=model_cfg.get("gelu", "exact"),
         **kw,
     )

@@ -144,7 +144,7 @@ def feedforward_block(
     (ref: vision_transformer.py:26-38). Returns the branch output."""
     h = layer_norm(p, f"{prefix}.net.0", x)
     h = linear(p, f"{prefix}.net.1", h)
-    h = gelu(h)
+    h = jax.nn.gelu(h, approximate=(spec.gelu == "tanh"))
     h = dropout(h, spec.dropout, train, rngs)
     h = linear(p, f"{prefix}.net.4", h)
     h = dropout(h, spec.dropout, train, rngs)

@@ -82,9 +82,39 @@ def random_affine(
     return out
 
 
-def train_transform(x: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+def random_noise(x: np.ndarray, rng: np.random.RandomState,
+                 std_range=(0.0, 0.25), p: float = 0.25) -> np.ndarray:
+    """Additive gaussian noise (tio.RandomNoise analog; the reference defines
+    its intensity augs but leaves them commented out — train.py:43-48)."""
+    if rng.rand() >= p:
+        return x
+    std = rng.uniform(*std_range) * float(x.std())
+    return x + rng.normal(0.0, max(std, 1e-8), size=x.shape).astype(x.dtype)
+
+
+def random_blur(x: np.ndarray, rng: np.random.RandomState,
+                std_range=(0.0, 1.5), p: float = 0.25) -> np.ndarray:
+    """Gaussian blur (tio.RandomBlur analog, disabled by default like the
+    reference's commented-out intensity stack)."""
+    if rng.rand() >= p:
+        return x
+    from scipy import ndimage
+
+    sigma = rng.uniform(*std_range, size=3)
+    out = np.empty_like(x)
+    for c in range(x.shape[0]):
+        out[c] = ndimage.gaussian_filter(x[c], sigma=sigma)
+    return out
+
+
+def train_transform(
+    x: np.ndarray, rng: np.random.RandomState, intensity_augs: bool = False
+) -> np.ndarray:
     x = random_affine(x, rng)
     x = random_flip(x, rng)
+    if intensity_augs:  # off by default, mirroring train.py:50-54
+        x = random_noise(x, rng)
+        x = random_blur(x, rng)
     return rescale_intensity(x)
 
 

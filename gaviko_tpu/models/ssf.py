@@ -82,7 +82,7 @@ def _ff_block(p, prefix, x, spec, *, train, rngs):
     h = _ssf(p, prefix, 0, h)
     h = linear(p, f"{prefix}.net.1", h)
     h = _ssf(p, prefix, 1, h)
-    h = gelu(h)
+    h = jax.nn.gelu(h, approximate=(spec.gelu == "tanh"))
     h = dropout(h, spec.dropout, train, rngs)
     h = linear(p, f"{prefix}.net.4", h)
     h = _ssf(p, prefix, 2, h)

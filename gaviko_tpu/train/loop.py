@@ -60,12 +60,25 @@ def split_params(model: Model, params: Dict) -> Tuple[Dict, Dict]:
 
 
 def make_optimizer(train_cfg: dict, total_steps: int):
-    sched = schedule_lib.from_config(train_cfg["scheduler"], total_steps)
+    """Adam + OneCycle + global-norm clip (ref: train.py:185-206, 315-316).
+
+    Notes vs the reference: its config declares ``weight_decay`` and
+    ``accumulation_steps`` but the code uses neither (Adam is constructed
+    without decay; no accumulation logic exists). Here accumulation_steps
+    is honored via optax.MultiSteps; weight decay stays off to match the
+    reference's actual optimizer.
+    """
+    accum = int(train_cfg.get("accumulation_steps", 1) or 1)
+    sched = schedule_lib.from_config(
+        train_cfg["scheduler"], max(total_steps // accum, 1)
+    )
     eps = 1e-4 if train_cfg.get("fp16") else 1e-8  # ref: train.py:185-189
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),  # ref: train.py:315-316
         optax.adam(learning_rate=sched, eps=eps),
     )
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, sched
 
 

@@ -1,0 +1,89 @@
+"""Data transforms + loader behaviors."""
+
+import numpy as np
+import pytest
+
+from gaviko_tpu.data import transforms as T
+from gaviko_tpu.data.pipeline import Loader, VolumeDataset
+
+
+def test_rescale_bounds_and_range():
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 8, 8, 8).astype(np.float32) * 100 - 30
+    y = T.rescale_intensity(x)
+    assert y.min() == 0.0 and abs(y.max() - 1.0) < 1e-6
+    # Order preserved (monotone map).
+    flat_x, flat_y = x.ravel(), y.ravel()
+    i, j = flat_x.argmin(), flat_x.argmax()
+    assert flat_y[i] == 0.0 and abs(flat_y[j] - 1.0) < 1e-6
+
+
+def test_random_flip_only_d_axis():
+    x = np.arange(2 * 4 * 3 * 3, dtype=np.float32).reshape(2, 4, 3, 3)
+    rng = np.random.RandomState(0)
+    flipped = T.random_flip(x, rng, p=1.0)
+    np.testing.assert_array_equal(flipped, x[:, ::-1])
+
+
+def test_random_affine_identity_statistics():
+    """Affine with p=1 preserves gross statistics (rotation <= 15deg, scale
+    ~[0.9, 1.1]) — a distributional sanity check, not torchio parity."""
+    rng = np.random.RandomState(3)
+    x = np.ones((1, 16, 16, 16), np.float32)
+    y = T.random_affine(x, rng, p=1.0)
+    assert y.shape == x.shape
+    # interior stays ~1 (border zero-padding only affects edges)
+    assert y[0, 6:10, 6:10, 6:10].mean() > 0.95
+
+
+def test_intensity_augs_change_data_but_keep_shape():
+    rng = np.random.RandomState(4)
+    x = rng.rand(1, 8, 8, 8).astype(np.float32)
+    noised = T.random_noise(x, np.random.RandomState(1), p=1.0)
+    blurred = T.random_blur(x, np.random.RandomState(2), p=1.0)
+    assert noised.shape == x.shape and blurred.shape == x.shape
+    assert not np.allclose(noised, x)
+    assert not np.allclose(blurred, x)
+
+
+def _mk_ds(tmp_path, n=5, train=False):
+    paths = []
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        p = str(tmp_path / f"v{i}.npz")
+        np.savez(p, data=rng.rand(6, 8, 8).astype(np.float32))
+        paths.append(p)
+    labels = np.arange(n) % 3
+    tf = T.train_transform if train else T.eval_transform
+    return VolumeDataset(paths=paths, labels=labels, transform=tf, train=train)
+
+
+def test_loader_batching_and_final_partial(tmp_path):
+    ds = _mk_ds(tmp_path, n=5)
+    loader = Loader(ds, batch_size=2, shuffle=False, num_workers=2)
+    batches = list(loader)
+    assert [b[0].shape[0] for b in batches] == [2, 2, 1]
+    assert [b[2] for b in batches] == [2, 2, 1]
+    assert batches[0][0].shape[1:] == (1, 6, 8, 8)
+
+
+def test_loader_pad_to_batch_marks_ignore(tmp_path):
+    ds = _mk_ds(tmp_path, n=5)
+    loader = Loader(ds, batch_size=4, shuffle=False, num_workers=2,
+                    pad_to_batch=True)
+    batches = list(loader)
+    assert batches[-1][0].shape[0] == 4
+    assert batches[-1][2] == 1
+    assert (batches[-1][1][1:] == -100).all()
+
+
+def test_loader_shuffle_is_epoch_deterministic(tmp_path):
+    ds = _mk_ds(tmp_path, n=5)
+    l1 = Loader(ds, batch_size=5, shuffle=True, num_workers=1, seed=7)
+    l2 = Loader(ds, batch_size=5, shuffle=True, num_workers=1, seed=7)
+    b1 = next(iter(l1))[1]
+    b2 = next(iter(l2))[1]
+    np.testing.assert_array_equal(b1, b2)
+    # Next epoch reshuffles.
+    b1b = next(iter(l1))[1]
+    assert not np.array_equal(b1, b1b) or len(b1) <= 2

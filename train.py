@@ -31,7 +31,13 @@ def make_loaders(config: dict):
     image_folder = config["data"].get("image_folder")
     train_df = split_dataframe(df, "train")
     val_df = split_dataframe(df, "val")
-    train_ds = dataset_from_dataframe(train_df, T.train_transform, True, image_folder)
+    import functools
+
+    train_tf = functools.partial(
+        T.train_transform,
+        intensity_augs=config["data"].get("intensity_augs", False),
+    )
+    train_ds = dataset_from_dataframe(train_df, train_tf, True, image_folder)
     val_ds = dataset_from_dataframe(val_df, T.eval_transform, False, image_folder)
     bs = config["data"]["batch_size"]
     nw = config["data"].get("num_workers", 8)
