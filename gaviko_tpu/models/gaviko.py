@@ -114,11 +114,13 @@ def _awakening_prompt(
     P = spec.num_prompts
     lat = spec.prompt_latent_dim
 
-    def proj_down(t):
-        return quick_gelu(linear(p, f"{prefix}.proj_down.0", t))
-
-    x_latent = proj_down(x)
-    local_latent = proj_down(local_tokens)
+    # One matmul for both streams (identical weights; concat is exact).
+    both = quick_gelu(linear(
+        p, f"{prefix}.proj_down.0",
+        jnp.concatenate([x, local_tokens], axis=1),
+    ))
+    x_latent = both[:, : x.shape[1]]
+    local_latent = both[:, x.shape[1]:]
     prompts_latent = x_latent[:, :P]
     cls_latent = x_latent[:, P:P + 1]
     global_img_latent = x_latent[:, P + 1:]
