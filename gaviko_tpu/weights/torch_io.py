@@ -27,7 +27,8 @@ def load_pt(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {k: np.asarray(v) for k, v in sd.items()}
+    # copy: torch-tensor-backed views must not alias into jax zero-copy buffers
+    return {k: np.array(v, copy=True) for k, v in sd.items()}
 
 
 def save_npz(path: str, state: Mapping[str, np.ndarray]) -> None:

@@ -103,7 +103,12 @@ def build_ref_model(method: str, model_cfg: dict, tmpdir: str, seed: int = 0):
 
 
 def state_dict_numpy(model) -> dict[str, np.ndarray]:
-    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    # .numpy() ALIASES torch tensor memory, and jax-on-CPU device_put can be
+    # zero-copy — without .copy(), a later in-place torch optimizer step
+    # would silently mutate the "loaded" jax params.
+    return {
+        k: v.detach().cpu().numpy().copy() for k, v in model.state_dict().items()
+    }
 
 
 def ref_logits(model, x_np: np.ndarray) -> np.ndarray:
