@@ -285,7 +285,10 @@ def init(rng: jax.Array, spec: ModelSpec, dtype=jnp.float32) -> Params:
     p["mlp_head.head.weight"] = tinit.xavier_uniform(kg(), (spec.num_classes, dim), dtype=dtype)
     p["mlp_head.head.bias"] = jnp.zeros((spec.num_classes,), dtype)
 
-    # Alias entries mirroring torch's duplicated state_dict rows.
+    # Alias entries mirroring torch's duplicated state_dict rows. They must
+    # be COPIES: the canonical entries are trainable and get donated by the
+    # jitted train step, which would delete a shared buffer out from under
+    # the frozen alias.
     for alias, canon in aliases(spec).items():
-        p[alias] = p[canon]
+        p[alias] = jnp.array(p[canon])
     return p

@@ -279,8 +279,108 @@ def _fused_mhsa_fwd(qkv, heads, dim_head, scale, n_true):
     return _fused_mhsa_forward(qkv, heads, dim_head, scale, n_true), (qkv,)
 
 
+def _fused_mhsa_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
+                           dq_ref, dk_ref, dv_ref,
+                           *, scale, n_true, hp, dim_head):
+    """Whole-K attention backward for one (batch, head-pair) program.
+
+    Standard flash-backward algebra with P recomputed in VMEM:
+      P  = softmax(q k^T * scale)   (masked cols >= n_true)
+      dV = P^T dO
+      dP = dO V^T
+      dS = P * (dP - rowsum(dO * O))   where O = P V
+      dQ = scale * dS K ; dK = scale * dS^T Q
+    Heads are processed sequentially so only one score-sized f32 pair
+    (P, dS) is live at a time.
+    """
+    for j in range(hp):
+        sl = slice(j * dim_head, (j + 1) * dim_head)
+        q = q_ref[:, sl]
+        k = k_ref[:, sl]
+        v = v_ref[:, sl]
+        do = do_ref[:, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if k_ref.shape[0] != n_true:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_true, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        m = jnp.where(m == NEG_INF, 0.0, m)  # fully-masked pad rows
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=1, keepdims=True)
+        p = e / jnp.maximum(l, 1e-30)  # [N, N] f32
+
+        pb = p.astype(v.dtype)
+        dv = jax.lax.dot_general(  # P^T dO
+            pb, do.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(  # dO V^T
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o = jax.lax.dot_general(  # recompute O rows for the softmax term
+            pb, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(do * o, axis=1, keepdims=True)
+        ds = (p * (dp - delta)).astype(q.dtype)  # [N, N]
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        dq_ref[:, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, sl] = dv.astype(dv_ref.dtype)
+
+
 def _fused_mhsa_bwd(heads, dim_head, scale, n_true, res, g):
     (qkv,) = res
+    B, n_pad, three_inner = qkv.shape
+    inner = three_inner // 3
+    hp = 2
+    nh = heads // hp
+    hd = hp * dim_head
+    # Whole-K per program keeps ~3 score-sized f32 buffers plus 7 (n_pad, hd)
+    # I/O blocks live. Fall back to the rematerialized XLA VJP when the
+    # estimate exceeds the 16 MB VMEM budget (f32 training at ~1k tokens
+    # trips this; bf16 fits).
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    vmem_est = 3 * n_pad * n_pad * 4 + 7 * n_pad * hd * itemsize * 2
+    if vmem_est > 14_000_000:
+        return (_fused_mhsa_bwd_xla(qkv, g, heads, dim_head, scale, n_true),)
+
+    specs = [
+        pl.BlockSpec((None, n_pad, hd), lambda b, h: (b, 0, h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, n_pad, hd), lambda b, h: (b, 0, nh + h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, n_pad, hd), lambda b, h: (b, 0, 2 * nh + h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, n_pad, hd), lambda b, h: (b, 0, h),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((None, n_pad, hd), lambda b, h: (b, 0, h),
+                            memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _fused_mhsa_bwd_kernel, scale=scale, n_true=n_true, hp=hp,
+            dim_head=dim_head,
+        ),
+        grid=(B, nh),
+        in_specs=specs,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, n_pad, inner), qkv.dtype) for _ in range(3)
+        ),
+        interpret=_use_interpret(),
+    )(qkv, qkv, qkv, g)
+    return (jnp.concatenate([dq, dk, dv], axis=-1),)
+
+
+def _fused_mhsa_bwd_xla(qkv, g, heads, dim_head, scale, n_true):
     B, n_pad, three_inner = qkv.shape
     inner = three_inner // 3
 
@@ -301,7 +401,7 @@ def _fused_mhsa_bwd(heads, dim_head, scale, n_true, res, g):
         return o.transpose(0, 2, 1, 3).reshape(B, n_pad, inner)
 
     _, vjp = jax.vjp(ref, qkv)
-    return vjp(g)
+    return vjp(g)[0]
 
 
 fused_mhsa.defvjp(_fused_mhsa_fwd, _fused_mhsa_bwd)

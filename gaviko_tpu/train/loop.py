@@ -86,6 +86,14 @@ def make_steps(model: Model, criterion, tx, compute_dtype=jnp.float32):
     """Build jitted train_step / eval_step closures."""
 
     def forward(params, inputs, train, rng):
+        # Mixed precision: fp32 master params, bf16 compute (params + inputs
+        # cast at use; grads flow back in fp32 via the cast's transpose).
+        if compute_dtype != jnp.float32:
+            params = jax.tree.map(
+                lambda t: t.astype(compute_dtype)
+                if t.dtype == jnp.float32 else t,
+                params,
+            )
         x = inputs.astype(compute_dtype)
         return model.apply(params, x, model.spec, train=train, rng=rng)
 
@@ -193,14 +201,20 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
     # Mid-training resume (capability absent in the reference; SURVEY.md §5).
     resume_path = train_cfg.get("resume")
     method = config["model"]["method"]
+    ckpt_backend = train_cfg.get("checkpoint_backend", "npz")
     resume_dir = os.path.join(train_cfg["save_dir"], "experiments", method)
-    auto_resume = os.path.join(resume_dir, "resume_state.npz")
+    resume_name = "resume_state" if ckpt_backend == "orbax" else "resume_state.npz"
+    auto_resume = os.path.join(resume_dir, resume_name)
     if resume_path == "auto" and os.path.exists(auto_resume):
         resume_path = auto_resume
     if resume_path and resume_path != "auto" and os.path.exists(resume_path):
-        from gaviko_tpu.utils.checkpoint import load_train_state
+        from gaviko_tpu.utils.checkpoint import (
+            load_train_state,
+            load_train_state_orbax,
+        )
 
-        trainable, opt_state, meta = load_train_state(resume_path, trainable, opt_state)
+        loader = load_train_state_orbax if os.path.isdir(resume_path) else load_train_state
+        trainable, opt_state, meta = loader(resume_path, trainable, opt_state)
         start_epoch = meta["epoch"]
         current_epoch = meta["epoch"]
         global_step = meta["global_step"]
@@ -354,11 +368,15 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
         )
 
         if train_cfg.get("save_resume_state", True):
-            from gaviko_tpu.utils.checkpoint import save_train_state
+            from gaviko_tpu.utils.checkpoint import (
+                save_train_state,
+                save_train_state_orbax,
+            )
 
             os.makedirs(resume_dir, exist_ok=True)
-            save_train_state(
-                os.path.join(resume_dir, "resume_state.npz"),
+            saver = save_train_state_orbax if ckpt_backend == "orbax" else save_train_state
+            saver(
+                os.path.join(resume_dir, resume_name),
                 {k: np.asarray(v) for k, v in trainable.items()},
                 jax.tree.map(np.asarray, opt_state),
                 meta={

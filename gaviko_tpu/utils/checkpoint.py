@@ -31,6 +31,38 @@ def save_train_state(path: str, trainable: Dict, opt_state: Any, meta: Dict) -> 
     np.savez(path, **payload)
 
 
+def save_train_state_orbax(path: str, trainable: Dict, opt_state: Any, meta: Dict) -> None:
+    """Orbax backend (train.checkpoint_backend: orbax) — same payload, a
+    directory checkpoint instead of one .npz."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {"trainable": dict(trainable),
+             "opt_leaves": list(jax.tree.leaves(opt_state)),
+             # StandardCheckpointer rejects raw strings; encode as bytes
+             "meta_json": np.frombuffer(json.dumps(meta).encode(), np.uint8).copy()},
+            force=True,
+        )
+
+
+def load_train_state_orbax(
+    path: str, trainable_template: Dict, opt_state_template: Any
+) -> Tuple[Dict, Any, Dict]:
+    import orbax.checkpoint as ocp
+
+    t_leaves, treedef = jax.tree.flatten(opt_state_template)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path)
+    trainable = {k: jax.numpy.asarray(v) for k, v in restored["trainable"].items()}
+    opt_state = jax.tree.unflatten(
+        treedef, [jax.numpy.asarray(v) for v in restored["opt_leaves"]]
+    )
+    meta = json.loads(bytes(np.asarray(restored["meta_json"]).astype(np.uint8)).decode())
+    return trainable, opt_state, meta
+
+
 def load_train_state(
     path: str, trainable_template: Dict, opt_state_template: Any
 ) -> Tuple[Dict, Any, Dict]:

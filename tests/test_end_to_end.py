@@ -131,3 +131,32 @@ def test_training_reduces_loss_fft(tmp_path):
     config["train"]["scheduler"]["max_lr"] = 1e-3  # full fine-tune needs a sane lr
     result = train_mod.train(config)
     assert result["best_val_acc"] >= 0.75, result
+
+
+def test_gaviko_training_roundtrip(tmp_path):
+    """Flagship training path (dual streams, local attention dropout, GPA)."""
+    import train as train_mod
+
+    root = str(tmp_path)
+    csv_path, volumes = make_synth_dataset(root)
+    config = tiny_config(root, csv_path, volumes, method="gaviko", epochs=1)
+    # tiny_config's max_lr=0.3 suits bias-only probes; real transforms explode
+    config["train"]["scheduler"]["max_lr"] = 3e-3
+    config["model"].update(
+        freeze_vit=True, num_prompts=4, prompt_latent_dim=8, local_dim=8,
+        local_k=[2, 2, 2], DHW=[2, 2, 2], attn_drop=0.2, proj_drop=0.2,
+        share_factor=2,
+    )
+    result = train_mod.train(config)
+    import pandas as pd
+
+    log = pd.read_csv(result["csv_log"])
+    assert np.isfinite(log["train_step_loss"]).all()
+    if result["best_ckpt_path"]:
+        from gaviko_tpu.weights.torch_io import load_checkpoint
+
+        ckpt = load_checkpoint(result["best_ckpt_path"])
+        # trainable-only payload: head/prompt/local_attn names only
+        assert all(
+            ("head" in k or "prompt" in k or "local_attn" in k) for k in ckpt
+        )

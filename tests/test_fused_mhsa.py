@@ -83,3 +83,31 @@ def test_supported_predicate():
     assert fused_mhsa_supported(12, 64, 1001)
     assert not fused_mhsa_supported(3, 64, 1001)  # vit-t16 odd heads
     assert not fused_mhsa_supported(12, 64, 99999)
+
+
+def test_fused_gradients_with_padding():
+    """Backward kernel with pad rows/columns (n_true < n_pad)."""
+    B, H, D = 1, 2, 64
+    n_true, n_pad = 41, 48
+    inner = H * D
+    rng = np.random.RandomState(3)
+    qkv = np.zeros((B, n_pad, 3 * inner), np.float32)
+    qkv[:, :n_true] = rng.randn(B, n_true, 3 * inner)
+    qkv = jnp.asarray(qkv)
+
+    def loss_fused(qkv):
+        out = fused_mhsa(qkv, H, D, 0.125, n_true)
+        return jnp.sum(out[:, :n_true] ** 2)
+
+    def loss_ref(qkv):
+        def to_heads(t):
+            return t.reshape(B, n_pad, H, D).transpose(0, 2, 1, 3)[:, :, :n_true]
+
+        q, k, v = (to_heads(qkv[..., i * inner:(i + 1) * inner]) for i in range(3))
+        o = _xla_attention(q, k, v, scale=0.125, dropout_rate=0,
+                           dropout_enabled=False, rngs=None)
+        return jnp.sum(o ** 2)
+
+    g1 = jax.grad(loss_fused)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-5)

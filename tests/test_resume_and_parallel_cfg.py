@@ -46,3 +46,22 @@ def test_parallel_training_via_config(tmp_path):
     log = pd.read_csv(result["csv_log"])
     assert len(log) > 0
     assert np.isfinite(log["train_step_loss"]).all()
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    import train as train_mod
+
+    root = str(tmp_path)
+    csv_path, volumes = make_synth_dataset(root)
+    config = tiny_config(root, csv_path, volumes, method="bitfit", epochs=2)
+    config["train"]["checkpoint_backend"] = "orbax"
+    train_mod.train(config)
+    state_dir = os.path.join(root, "weights", "experiments", "bitfit", "resume_state")
+    assert os.path.isdir(state_dir)
+
+    config2 = tiny_config(root, csv_path, volumes, method="bitfit", epochs=3)
+    config2["train"]["checkpoint_backend"] = "orbax"
+    config2["train"]["resume"] = "auto"
+    r2 = train_mod.train(config2)
+    log = pd.read_csv(r2["csv_log"])
+    assert log["epoch"].min() == 2
