@@ -142,6 +142,22 @@ def feedforward_block(
 ) -> jax.Array:
     """LN -> Linear -> GELU -> Dropout -> Linear -> Dropout
     (ref: vision_transformer.py:26-38). Returns the branch output."""
+    from gaviko_tpu.ops import attention as attn_mod
+    from gaviko_tpu.ops.fused_mlp import fused_mlp, fused_mlp_supported
+
+    if (
+        attn_mod._DEFAULT_IMPL == "flash"
+        and not (train and spec.dropout > 0.0)
+        and fused_mlp_supported(x.shape[-1], p[f"{prefix}.net.1.weight"].shape[0], x.dtype)
+    ):
+        # Fused kernel keeps the (tokens, mlp_dim) hidden in VMEM only.
+        return fused_mlp(
+            x,
+            p[f"{prefix}.net.0.weight"], p[f"{prefix}.net.0.bias"],
+            p[f"{prefix}.net.1.weight"].T, p[f"{prefix}.net.1.bias"],
+            p[f"{prefix}.net.4.weight"].T, p[f"{prefix}.net.4.bias"],
+            1e-5, spec.gelu == "tanh",
+        )
     h = layer_norm(p, f"{prefix}.net.0", x)
     h = linear(p, f"{prefix}.net.1", h)
     h = jax.nn.gelu(h, approximate=(spec.gelu == "tanh"))
