@@ -58,5 +58,28 @@ def test_fused_mlp_gradients():
 
 def test_supported_predicate():
     assert fused_mlp_supported(768, 3072, jnp.bfloat16)
-    assert not fused_mlp_supported(1024, 4096, jnp.float32)  # weights too big
+    assert not fused_mlp_supported(1024, 4096, jnp.float32)  # would need chunking
     assert not fused_mlp_supported(100, 3072, jnp.bfloat16)  # lane misaligned
+
+
+def test_fused_mlp_chunked_matches_reference():
+    """mlp_dim large enough to force weight chunking (vit-l16-like ratios)."""
+    from gaviko_tpu.ops import fused_mlp as fm
+
+    old = fm._WEIGHT_VMEM_BUDGET
+    fm._WEIGHT_VMEM_BUDGET = 2 * 128 * 128 * 4  # force 2 chunks on tiny dims
+    try:
+        args = _inputs(dim=128, mlp=256, rows=40, seed=2)
+        got = fused_mlp(*args, 1e-5, False)
+        want = _reference(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+    finally:
+        fm._WEIGHT_VMEM_BUDGET = old
+
+
+def test_chunk_plan_vit_l16():
+    from gaviko_tpu.ops.fused_mlp import _chunk_plan, fused_mlp_supported
+
+    # vit-l16 bf16 would need 2 chunks -> fusion declined (slower than XLA).
+    assert not fused_mlp_supported(1024, 4096, jnp.bfloat16)
+    assert _chunk_plan(1024, 4096, 2) == 2048
