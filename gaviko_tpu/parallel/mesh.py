@@ -118,6 +118,7 @@ def make_parallel_train_step(
     tp: bool = True,
     zero: bool = True,
     compute_dtype=jnp.float32,
+    device_augment: bool = False,
 ):
     """Places state on the mesh and returns (train_step, placed_state).
 
@@ -141,6 +142,11 @@ def make_parallel_train_step(
 
     def loss_fn(trainable, frozen, inputs, labels, rng):
         params = {**frozen, **trainable}
+        if device_augment:
+            from gaviko_tpu.ops.augment import train_augment
+
+            rng, aug_rng = jax.random.split(rng)
+            inputs = train_augment(inputs, aug_rng)
         logits = model.apply(
             params, inputs.astype(compute_dtype), model.spec, train=True, rng=rng
         )

@@ -82,8 +82,14 @@ def make_optimizer(train_cfg: dict, total_steps: int):
     return tx, sched
 
 
-def make_steps(model: Model, criterion, tx, compute_dtype=jnp.float32):
-    """Build jitted train_step / eval_step closures."""
+def make_steps(model: Model, criterion, tx, compute_dtype=jnp.float32,
+               device_augment: bool = False):
+    """Build jitted train_step / eval_step closures.
+
+    ``device_augment``: inputs arrive as RAW volumes; the affine/flip/rescale
+    augmentation runs on-device inside the step (ops/augment.py) — the
+    TPU-native replacement for torchio worker processes on weak hosts.
+    """
 
     def forward(params, inputs, train, rng):
         # Mixed precision: fp32 master params, bf16 compute (params + inputs
@@ -94,6 +100,14 @@ def make_steps(model: Model, criterion, tx, compute_dtype=jnp.float32):
                 if t.dtype == jnp.float32 else t,
                 params,
             )
+        if device_augment:
+            from gaviko_tpu.ops.augment import eval_rescale, train_augment
+
+            if train:
+                rng, aug_rng = jax.random.split(rng)
+                inputs = train_augment(inputs, aug_rng)
+            else:
+                inputs = eval_rescale(inputs)
         x = inputs.astype(compute_dtype)
         return model.apply(params, x, model.spec, train=train, rng=rng)
 
@@ -168,10 +182,17 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
             model, criterion, tx, mesh, trainable, frozen, opt_state,
             tp=model_ax > 1, zero=par_cfg.get("zero", True),
             compute_dtype=compute_dtype,
+            device_augment=train_cfg.get("device_augment", False),
         )
-        _, eval_step, _ = make_steps(model, criterion, tx, compute_dtype)
+        _, eval_step, _ = make_steps(
+            model, criterion, tx, compute_dtype,
+            device_augment=train_cfg.get("device_augment", False),
+        )
     else:
-        train_step, eval_step, _ = make_steps(model, criterion, tx, compute_dtype)
+        train_step, eval_step, _ = make_steps(
+            model, criterion, tx, compute_dtype,
+            device_augment=train_cfg.get("device_augment", False),
+        )
 
     rng = jax.random.PRNGKey(train_cfg.get("seed", 0))
     memory_logger = MemoryUsageLogger(verbose=train_cfg.get("memory_verbose", False))

@@ -65,3 +65,26 @@ def test_orbax_checkpoint_backend(tmp_path):
     r2 = train_mod.train(config2)
     log = pd.read_csv(r2["csv_log"])
     assert log["epoch"].min() == 2
+
+
+def test_training_is_seed_deterministic(tmp_path):
+    """Same config + seed -> bitwise-identical trained parameters."""
+    import train as train_mod
+
+    root = str(tmp_path)
+    csv_path, volumes = make_synth_dataset(root)
+
+    states = []
+    for run in ("a", "b"):
+        config = tiny_config(root, csv_path, volumes, method="bitfit", epochs=2)
+        config["train"]["save_dir"] = os.path.join(root, f"w_{run}")
+        config["utils"]["log_dir"] = os.path.join(root, f"log_{run}")
+        config["train"]["seed"] = 7
+        train_mod.train(config)
+        path = os.path.join(root, f"w_{run}", "experiments", "bitfit",
+                            "resume_state.npz")
+        with np.load(path) as z:
+            states.append({k: z[k].copy() for k in z.files if k.startswith("param::")})
+    assert set(states[0]) == set(states[1])
+    for k in states[0]:
+        np.testing.assert_array_equal(states[0][k], states[1][k], err_msg=k)

@@ -14,6 +14,7 @@ import argparse
 import logging
 
 import jax
+import numpy as np
 import pandas as pd
 
 from gaviko_tpu.config import METHODS, apply_method_override, load_config
@@ -33,12 +34,24 @@ def make_loaders(config: dict):
     val_df = split_dataframe(df, "val")
     import functools
 
-    train_tf = functools.partial(
-        T.train_transform,
-        intensity_augs=config["data"].get("intensity_augs", False),
-    )
+    if config["train"].get("device_augment"):
+        # Raw volumes to the device; augmentation + rescale run inside the
+        # jitted step (gaviko_tpu/ops/augment.py) — essential on weak hosts.
+        def raw_train(x, rng):
+            return np.ascontiguousarray(x, dtype=np.float32)
+
+        def raw_eval(x):
+            return np.ascontiguousarray(x, dtype=np.float32)
+
+        train_tf, val_tf = raw_train, raw_eval
+    else:
+        train_tf = functools.partial(
+            T.train_transform,
+            intensity_augs=config["data"].get("intensity_augs", False),
+        )
+        val_tf = T.eval_transform
     train_ds = dataset_from_dataframe(train_df, train_tf, True, image_folder)
-    val_ds = dataset_from_dataframe(val_df, T.eval_transform, False, image_folder)
+    val_ds = dataset_from_dataframe(val_df, val_tf, False, image_folder)
     bs = config["data"]["batch_size"]
     nw = config["data"].get("num_workers", 8)
     train_loader = Loader(train_ds, bs, shuffle=True, num_workers=nw)
