@@ -12,7 +12,7 @@ files, so we use that (no extra dependency).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import yaml
 

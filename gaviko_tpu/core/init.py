@@ -11,7 +11,7 @@ so that standalone training from scratch behaves like the reference.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ Pipeline parallelism is intentionally absent: the largest backbone (vit-l16,
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
