@@ -260,6 +260,17 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
             "time_stamp": time_stamp, "epoch": current_epoch,
         }
 
+    # Optional wandb (ref: train.py:354-361, 434-441, 452-459). Gated: wandb
+    # is not installed in this environment; train.py only enables the flag
+    # when the import succeeded.
+    wandb_on = config.get("wandb", {}).get("enable", False)
+
+    def _wandb_log(payload, step):
+        if wandb_on:
+            import wandb
+
+            wandb.log(payload, step=step)
+
     for epoch in range(start_epoch, num_epochs):
         t_epoch = time.time()
         # Metric scalars stay on device during the hot loop; the only
@@ -309,6 +320,13 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
                 "train_step": train_step_n,
                 "val_step": val_step_n,
             })
+            _wandb_log({
+                "train_step_acc": train_step_acc,
+                "train_step_loss": train_step_loss,
+                "lr": sched_host(epoch * len(train_loader) + index),
+                "epoch": current_epoch,
+                "train_step": train_step_n,
+            }, step=train_step_n)
         train_loss = running_loss / max(len(train_loader), 1)
         train_acc = num_acc / max(train_len, 1)
         logging.info(
@@ -351,8 +369,21 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
                 "train_step": train_step_n,
                 "val_step": val_step_n,
             })
+            _wandb_log({
+                "val_step_acc": val_step_acc,
+                "val_step_loss": val_step_loss,
+                "epoch": current_epoch,
+                "val_step": val_step_n,
+            }, step=train_step_n)
         val_loss = running_val_loss / max(len(val_loader), 1)
         val_acc = num_val_acc / max(val_len, 1)
+        _wandb_log({
+            "train_epoch_loss": train_loss,
+            "train_epoch_acc": train_acc,
+            "val_epoch_loss": val_loss,
+            "val_epoch_acc": val_acc,
+            "best_val_acc": val_acc_max,
+        }, step=train_step_n)
 
         current_epoch += 1
         if val_acc > val_acc_max:
