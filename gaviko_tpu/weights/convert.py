@@ -158,3 +158,35 @@ def load_pretrain(
         f"{name}[.pt|.npz]). This environment has no network access; place a "
         f"timm-format state dict there, or run with backbone weights omitted."
     )
+
+
+def main():
+    """CLI: convert a timm-format state dict to this framework's names.
+
+        python -m gaviko_tpu.weights.convert <timm_state.pt|.npz> \
+            --backbone vit-b16 --out converted.npz \
+            [--num-patches 1000] [--depth-dim 12]
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("timm_state")
+    parser.add_argument("--backbone", required=True)
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--num-patches", type=int, default=1000)
+    parser.add_argument("--depth-dim", type=int, default=12,
+                        help="frame_patch_size (depth of the inflated kernel)")
+    args = parser.parse_args()
+    state = _read_state_file(args.timm_state)
+    conv = convert_timm_state(state, args.num_patches, args.depth_dim)
+    if args.out.endswith(".npz"):
+        np.savez(args.out, **conv)
+    else:
+        from gaviko_tpu.weights.torch_io import save_pt
+
+        save_pt(args.out, conv)
+    print(f"wrote {len(conv)} tensors -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
