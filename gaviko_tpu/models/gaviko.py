@@ -108,11 +108,16 @@ def _fusion_cross_attention(q: jax.Array, tokens: jax.Array, latent_dim: int) ->
 
 
 def _awakening_prompt(
-    p: Params, prefix: str, x: jax.Array, local_tokens: jax.Array, spec: ModelSpec
+    p: Params, prefix: str, x: jax.Array, local_tokens: jax.Array, spec: ModelSpec,
+    n_true: Optional[int] = None,
 ) -> jax.Array:
-    """GPA module (ref: gaviko.py:121-187)."""
+    """GPA module (ref: gaviko.py:121-187). ``n_true`` marks the real global
+    stream length when it carries tail padding; pad rows are excluded from
+    the cross-attention token sets (exact) and pass through proj_up in place.
+    """
     P = spec.num_prompts
     lat = spec.prompt_latent_dim
+    n_true = x.shape[1] if n_true is None else n_true
 
     # One matmul for both streams (identical weights; concat is exact).
     both = quick_gelu(linear(
@@ -123,7 +128,7 @@ def _awakening_prompt(
     local_latent = both[:, x.shape[1]:]
     prompts_latent = x_latent[:, :P]
     cls_latent = x_latent[:, P:P + 1]
-    global_img_latent = x_latent[:, P + 1:]
+    global_img_latent = x_latent[:, P + 1:n_true]  # excludes tail padding
 
     # PromptRelevantEstimator: LN -> Linear(lat, 64) -> GELU -> Linear(64, P) -> Sigmoid
     ca = f"{prefix}.cls_analyzer.cls_analyzer_"
@@ -146,7 +151,10 @@ def _awakening_prompt(
     fused = g * global_context + (1 - g) * local_context
     enhanced = fused * prompt_importance.transpose(0, 2, 1)  # [B, P, lat]
 
-    combined = jnp.concatenate([enhanced, cls_latent, global_img_latent], axis=1)
+    parts = [enhanced, cls_latent, global_img_latent]
+    if n_true != x.shape[1]:
+        parts.append(x_latent[:, n_true:])  # pad rows ride along unscaled
+    combined = jnp.concatenate(parts, axis=1)
     return linear(p, f"{prefix}.proj_up", combined)
 
 
@@ -187,6 +195,16 @@ def apply(
     local_tokens = x + params["pos_embedding"][:, 1:, :].astype(dt)
     local_tokens = dropout(local_tokens, spec.emb_dropout, bb_train, rngs)
 
+    # Pad the global stream ONCE to a tile-friendly length (P+1+N = 1033 ->
+    # 1040 for the real config); attention masks keys >= n_true and the GPA
+    # excludes pad rows from its token sets, so results are exact while the
+    # per-layer qkv pad/slice copies disappear. The head reads rows [0, P+1)
+    # only, so no final slice is needed.
+    n_true = global_tokens.shape[1]
+    g_pad = (-n_true) % 8
+    if g_pad:
+        global_tokens = jnp.pad(global_tokens, [(0, 0), (0, g_pad), (0, 0)])
+
     for i in range(spec.depth):
         j = i // spec.share_factor
         la = f"transformer.local_attns.{j}"
@@ -196,10 +214,11 @@ def apply(
         ) + local_tokens
         global_tokens = vit_core.attention_block(
             params, f"transformer.attns.{i}", global_tokens, spec,
-            train=bb_train, rngs=rngs,
+            train=bb_train, rngs=rngs, n_true=n_true,
         ) + global_tokens
         prompt = _awakening_prompt(
-            params, f"transformer.prompt_projs.{j}", global_tokens, local_tokens, spec
+            params, f"transformer.prompt_projs.{j}", global_tokens, local_tokens,
+            spec, n_true=n_true,
         )
         global_tokens = vit_core.feedforward_block(
             params, f"transformer.mlps.{i}", global_tokens, spec,
