@@ -28,15 +28,37 @@ DEFAULT_THREADS = min(8, os.cpu_count() or 1)
 
 
 def _build() -> bool:
+    # Portable codegen only: the .so is built lazily on each host (never
+    # committed), and -march=native binaries would SIGILL when the build
+    # host's ISA differs from the run host's.
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["g++", "-O3", "-shared", "-fPIC",
              "-o", _SO, _SRC, "-lpthread"],
             check=True, capture_output=True, timeout=120,
         )
         return True
     except Exception as e:  # noqa: BLE001 - fall back to numpy
         logging.info(f"native loader build unavailable ({e}); using numpy")
+        return False
+
+
+def _self_test(lib) -> bool:
+    """One-time numerical sanity check before enabling the native path."""
+    try:
+        x = np.asarray([[-1.0, 0.5], [2.0, 3.0]], dtype=np.float32)
+        mn = ctypes.c_float()
+        mx = ctypes.c_float()
+        lib.volume_minmax_f32(x.ctypes.data, x.size, 2,
+                              ctypes.byref(mn), ctypes.byref(mx))
+        if mn.value != -1.0 or mx.value != 3.0:
+            return False
+        out = np.empty_like(x)
+        lib.rescale_f32(x.ctypes.data, out.ctypes.data, x.size,
+                        mn.value, 1.0 / (mx.value - mn.value), 0.0, 2)
+        expected = (x - mn.value) / (mx.value - mn.value)
+        return bool(np.allclose(out, expected, atol=1e-6))
+    except Exception:  # noqa: BLE001
         return False
 
 
@@ -62,6 +84,9 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
                 ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
             ]
+            if not _self_test(lib):
+                logging.info("native loader self-test failed; using numpy")
+                lib = None
             _lib = lib
         except OSError as e:
             logging.info(f"native loader load failed ({e}); using numpy")
