@@ -51,8 +51,11 @@ def evaluate(config: dict) -> dict:
     ds = dataset_from_dataframe(
         valid_df, T.eval_transform, False, config["data"].get("image_folder")
     )
+    # pad_to_batch avoids recompiling the eval graph for the ragged final
+    # batch; predictions for pad rows are sliced off below via n_valid.
     loader = Loader(ds, config["data"]["batch_size"], shuffle=False,
-                    num_workers=config["data"].get("num_workers", 8))
+                    num_workers=config["data"].get("num_workers", 8),
+                    pad_to_batch=True)
 
     model = build_model(config["model"])
     ckpt = config["utils"].get("checkpoint")

@@ -73,6 +73,14 @@ class Loader:
     The final partial batch is yielded as-is (like torch DataLoader
     drop_last=False); callers that need static shapes for jit can pass
     ``pad_to_batch=True`` to zero-pad it (with a valid-count mask returned).
+
+    Multi-host data parallelism: ``shard=(process_index, process_count)``
+    makes each host load only its contiguous slice of every global batch
+    (rows [pi*B/pc, (pi+1)*B/pc) — matching a P('data') row layout), with
+    per-sample augmentation RNG keyed by the GLOBAL dataset index so the
+    epoch is deterministic regardless of host count. Requires pad_to_batch
+    and batch_size % process_count == 0. ``n_valid`` is then the host-local
+    real-row count.
     """
 
     def __init__(
@@ -84,6 +92,7 @@ class Loader:
         seed: int = 0,
         prefetch: int = 2,
         pad_to_batch: bool = False,
+        shard: Tuple[int, int] = (0, 1),
     ):
         self.ds = ds
         self.batch_size = batch_size
@@ -92,6 +101,12 @@ class Loader:
         self.seed = seed
         self.prefetch = prefetch
         self.pad_to_batch = pad_to_batch
+        self.shard = shard
+        if shard[1] > 1:
+            assert pad_to_batch and batch_size % shard[1] == 0, (
+                "multi-host loading requires pad_to_batch=True and "
+                "batch_size divisible by process_count"
+            )
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -114,34 +129,51 @@ class Loader:
         stop = threading.Event()
 
         def assemble(bidx, epoch_seed):
+            pi, pc = self.shard
+            if pc > 1:
+                per = self.batch_size // pc
+                rows = range(pi * per, (pi + 1) * per)
+            else:
+                rows = range(self.batch_size if self.pad_to_batch else len(bidx))
+            # Global batch row r is a real sample iff r < len(bidx); real
+            # rows of this host's slice come first (contiguous layout).
+            idxs = [int(bidx[r]) for r in rows if r < len(bidx)]
             rngs = [
-                np.random.RandomState((epoch_seed * 1_000_003 + int(i)) % (2**31))
-                for i in bidx
+                np.random.RandomState((epoch_seed * 1_000_003 + i) % (2**31))
+                for i in idxs
             ]
-            vols = list(pool.map(self.ds.load, bidx, rngs))
+            vols = list(pool.map(self.ds.load, idxs, rngs))
             n_valid = len(vols)
-            if self.pad_to_batch and n_valid < self.batch_size:
-                pad = [np.zeros_like(vols[0])] * (self.batch_size - n_valid)
-                vols = vols + pad
+            n_pad = len(rows) - n_valid
+            if n_pad:
+                template = vols[0] if vols else self.ds.load(
+                    int(bidx[0]), np.random.RandomState(0)
+                )
+                vols = vols + [np.zeros_like(template)] * n_pad
             inputs = np.stack(vols)
             labels = None
             if self.ds.labels is not None:
-                labels = np.asarray(self.ds.labels[bidx], dtype=np.int32)
-                if self.pad_to_batch and n_valid < self.batch_size:
+                labels = np.asarray(self.ds.labels[idxs], dtype=np.int32)
+                if n_pad:
                     # Padded rows get ignore_index so losses/accuracy skip them.
                     labels = np.concatenate(
-                        [labels, np.full(self.batch_size - n_valid, -100, np.int32)]
+                        [labels, np.full(n_pad, -100, np.int32)]
                     )
             return inputs, labels, n_valid
 
         def producer():
+            # An exception here (corrupt/missing .npz) must reach the
+            # consumer: swallowing it would end the epoch early and silently
+            # skew metrics that divide by the full dataset length.
             epoch_seed = self.seed + self._epoch
             try:
                 for b in batches:
                     if stop.is_set():
                         return
                     q.put(assemble(b, epoch_seed))
-            finally:
+            except BaseException as e:  # noqa: BLE001 - re-raised in __iter__
+                q.put(e)
+            else:
                 q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -151,6 +183,8 @@ class Loader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

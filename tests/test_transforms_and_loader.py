@@ -87,3 +87,46 @@ def test_loader_shuffle_is_epoch_deterministic(tmp_path):
     # Next epoch reshuffles.
     b1b = next(iter(l1))[1]
     assert not np.array_equal(b1, b1b) or len(b1) <= 2
+
+
+def test_loader_shard_reconstructs_global_batch(tmp_path):
+    """Host shards (pi, pc) concatenate to exactly the unsharded batch —
+    the process-index math behind multi-host data parallelism."""
+    ds = _mk_ds(tmp_path, n=6)
+    full = list(Loader(ds, batch_size=4, shuffle=True, num_workers=1,
+                       seed=3, pad_to_batch=True))
+    s0 = list(Loader(ds, batch_size=4, shuffle=True, num_workers=1,
+                     seed=3, pad_to_batch=True, shard=(0, 2)))
+    s1 = list(Loader(ds, batch_size=4, shuffle=True, num_workers=1,
+                     seed=3, pad_to_batch=True, shard=(1, 2)))
+    assert len(full) == len(s0) == len(s1) == 2
+    for f, a, b in zip(full, s0, s1):
+        np.testing.assert_array_equal(
+            f[0], np.concatenate([a[0], b[0]], axis=0)
+        )
+        np.testing.assert_array_equal(
+            f[1], np.concatenate([a[1], b[1]], axis=0)
+        )
+        assert a[2] + b[2] == f[2]  # local n_valid sums to global
+    # Final batch: 2 real rows -> host 0 all-real, host 1 all-pad.
+    assert s0[-1][2] == 2 and s1[-1][2] == 0
+    assert (s1[-1][1] == -100).all()
+
+
+def test_loader_shard_requires_padding(tmp_path):
+    ds = _mk_ds(tmp_path, n=4)
+    with pytest.raises(AssertionError):
+        Loader(ds, batch_size=4, shuffle=False, shard=(0, 2))
+    with pytest.raises(AssertionError):
+        Loader(ds, batch_size=3, shuffle=False, pad_to_batch=True,
+               shard=(0, 2))
+
+
+def test_loader_propagates_producer_errors(tmp_path):
+    """A corrupt/missing volume must raise in the consumer, not silently end
+    the epoch early (which would quietly skew epoch metrics)."""
+    ds = _mk_ds(tmp_path, n=4)
+    ds.paths[2] = str(tmp_path / "missing.npz")
+    loader = Loader(ds, batch_size=2, shuffle=False, num_workers=2)
+    with pytest.raises(FileNotFoundError):
+        list(loader)

@@ -28,6 +28,9 @@ from gaviko_tpu.utils.logging import setup_logging
 
 def make_loaders(config: dict):
     """CSV split -> train/val loaders (ref: train.py:33-78)."""
+    # Multi-host DP: each process loads only its slice of every global batch
+    # (process_count == 1 in single-host runs, making shard a no-op).
+    shard = (jax.process_index(), jax.process_count())
     df = pd.read_csv(config["data"]["data_path"])
     image_folder = config["data"].get("image_folder")
     train_df = split_dataframe(df, "train")
@@ -54,8 +57,15 @@ def make_loaders(config: dict):
     val_ds = dataset_from_dataframe(val_df, val_tf, False, image_folder)
     bs = config["data"]["batch_size"]
     nw = config["data"].get("num_workers", 8)
-    train_loader = Loader(train_ds, bs, shuffle=True, num_workers=nw)
-    val_loader = Loader(val_ds, bs, shuffle=False, num_workers=nw)
+    # pad_to_batch keeps every batch the same static shape: a non-divisible
+    # dataset otherwise yields one differently-shaped batch per epoch, which
+    # costs an extra XLA compile (minutes through the relay) and breaks
+    # in_shardings=P('data') dispatch when train.parallel is enabled. Padded
+    # rows carry ignore_index=-100 labels; losses/accuracy skip them.
+    train_loader = Loader(train_ds, bs, shuffle=True, num_workers=nw,
+                          pad_to_batch=True, shard=shard)
+    val_loader = Loader(val_ds, bs, shuffle=False, num_workers=nw,
+                        pad_to_batch=True, shard=shard)
     return train_loader, val_loader, len(train_ds), len(val_ds)
 
 
@@ -75,6 +85,11 @@ def train(config: dict) -> dict:
         except ImportError:
             logging.warning("wandb not installed; continuing without it.")
             config["wandb"]["enable"] = False
+    from gaviko_tpu.parallel.mesh import maybe_init_multihost
+
+    pi, pc = maybe_init_multihost(config["train"].get("parallel") or {})
+    if pc > 1:
+        logging.info(f"Multi-host: process {pi}/{pc}")
     logging.info(f"Devices: {jax.devices()}")
     logging.info(f"Phase: {config['utils'].get('phase')}")
 
