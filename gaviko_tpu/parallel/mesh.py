@@ -33,6 +33,54 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_multihost(par_cfg: dict) -> Tuple[int, int]:
+    """Guarded ``jax.distributed.initialize`` for multi-host pods (DCN).
+
+    The reference's analog is DeepSpeed's (never-exercised) multi-process
+    launch (ref: src/train.py:232-243). Enabled via
+    ``train.parallel.multihost: true``; coordinator address / process
+    count / process id come from the standard JAX env vars (or TPU pod
+    metadata, auto-detected). Idempotent and safe on a single host: if
+    initialization fails or was already done, training proceeds
+    single-process. Hardware-unverified in this environment (one chip);
+    the per-host batch-slicing math it feeds is unit-tested in
+    tests/test_parallel.py.
+
+    Returns (process_index, process_count).
+    """
+    if par_cfg.get("multihost"):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # noqa: BLE001 - single-host fallback
+            import logging
+
+            logging.warning(
+                f"jax.distributed.initialize failed ({e}); continuing "
+                f"single-process."
+            )
+    return jax.process_index(), jax.process_count()
+
+
+def make_global_batch_fn(mesh: Mesh):
+    """-> fn(inputs, labels) assembling global arrays over the ``data`` axis.
+
+    Single-process: identity (jit's in_shardings place the batch).
+    Multi-host: each process passes its host-local batch shard and gets the
+    global jax.Array view via ``jax.make_array_from_process_local_data``.
+    """
+    if jax.process_count() == 1:
+        return lambda inputs, labels: (inputs, labels)
+    bsh = NamedSharding(mesh, P("data"))
+
+    def fn(inputs, labels):
+        return (
+            jax.make_array_from_process_local_data(bsh, np.asarray(inputs)),
+            jax.make_array_from_process_local_data(bsh, np.asarray(labels)),
+        )
+
+    return fn
+
+
 def make_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     assert data * model <= len(devices), (
@@ -142,6 +190,14 @@ def make_parallel_train_step(
 
     def loss_fn(trainable, frozen, inputs, labels, rng):
         params = {**frozen, **trainable}
+        if compute_dtype != jnp.float32:
+            # Mirror make_steps.forward: fp32 master params, compute-dtype
+            # cast at use (grads flow back fp32 via the cast's transpose).
+            params = jax.tree.map(
+                lambda t: t.astype(compute_dtype)
+                if t.dtype == jnp.float32 else t,
+                params,
+            )
         if device_augment:
             from gaviko_tpu.ops.augment import train_augment
 

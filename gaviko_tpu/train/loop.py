@@ -169,8 +169,13 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
     # Multi-chip: mesh-sharded DP(xTP) train step — the TPU-native stand-in
     # for the reference's optional DeepSpeed engine (train.py:232-243).
     par_cfg = train_cfg.get("parallel") or {}
+    global_batch = lambda i, l: (i, l)  # noqa: E731 - multihost hook
     if par_cfg.get("enabled"):
-        from gaviko_tpu.parallel.mesh import make_mesh, make_parallel_train_step
+        from gaviko_tpu.parallel.mesh import (
+            make_global_batch_fn,
+            make_mesh,
+            make_parallel_train_step,
+        )
 
         n_dev = len(jax.devices())
         model_ax = int(par_cfg.get("model", 1))
@@ -184,6 +189,7 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
             compute_dtype=compute_dtype,
             device_augment=train_cfg.get("device_augment", False),
         )
+        global_batch = make_global_batch_fn(mesh)
         _, eval_step, _ = make_steps(
             model, criterion, tx, compute_dtype,
             device_augment=train_cfg.get("device_augment", False),
@@ -196,6 +202,9 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
 
     rng = jax.random.PRNGKey(train_cfg.get("seed", 0))
     memory_logger = MemoryUsageLogger(verbose=train_cfg.get("memory_verbose", False))
+    memory_logger.set_sizes(
+        model_bytes=sum(int(v.nbytes) for v in {**frozen, **trainable}.values())
+    )
 
     # Debug/observability (SURVEY.md §5): jit-purity NaN checking is the
     # JAX analog of a sanitizer; jax.profiler is the timeline tracer.
@@ -284,15 +293,27 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
                 jax.profiler.start_trace(prof_dir)
                 logging.info(f"Profiler trace started -> {prof_dir}")
             step_rng = jax.random.fold_in(rng, global_step)
+            # Multi-host: assemble the global batch from this host's slice
+            # (identity on a single process).
+            inputs, labels = global_batch(inputs, labels)
             inputs = jnp.asarray(inputs)
             labels = jnp.asarray(labels)
             memory_logger.display_after_moving_data_to_gpu()
+            if index == 0 and epoch == start_epoch:
+                memory_logger.set_sizes(batch_bytes=int(inputs.nbytes))
             trainable, opt_state, loss, correct = train_step(
                 trainable, opt_state, frozen, inputs, labels, step_rng
             )
+            # forward/backward/update are one fused XLA computation; these
+            # hooks sample post-step stats (see MemoryUsageLogger docstring)
+            # and `peak` carries the intra-step activation high-water mark.
+            memory_logger.display_after_forward_pass()
+            memory_logger.display_after_backward_pass()
             memory_logger.display_after_optimization_step()
             global_step += 1
-            step_stats.append((loss, correct, inputs.shape[0]))
+            # n_valid (not inputs.shape[0]): with pad_to_batch the final
+            # batch carries ignore_index pad rows that the loss skipped.
+            step_stats.append((loss, correct, n_valid))
             if prof_start >= 0 and global_step == prof_start + prof_steps:
                 jax.tree.leaves(trainable)[0].block_until_ready()
                 jax.profiler.stop_trace()
@@ -347,7 +368,7 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
                 n_total = sum(int(np.prod(v.shape)) for v in {**frozen, **trainable}.values())
                 analyze_model_computation(n_total, flops, verbose=True)
                 flops_done = True
-            val_stats.append((loss, correct, inputs.shape[0]))
+            val_stats.append((loss, correct, n_valid))
         val_losses, val_corrects = _gather_stats(val_stats)
         num_val_acc = 0.0
         running_val_loss = 0.0

@@ -106,15 +106,37 @@ def jit_cost_flops(fn, *args) -> Optional[int]:
 
 class MemoryUsageLogger:
     """Device-memory snapshots at the reference's five hook points of step 0
-    (ref: logging.py:146-340), backed by TPU memory_stats."""
+    (ref: logging.py:146-340), backed by TPU memory_stats.
+
+    Reference-fidelity note: the reference separates after-forward and
+    after-backward because eager torch executes them as distinct host calls
+    (ref: logging.py:289-340). Here forward+backward+update are ONE fused
+    XLA computation, so those two hooks sample the same post-step state; the
+    true intra-step high-water mark (activations + grads) is visible in the
+    ``peak`` field. model_size/data_size mirror the reference's fields.
+    """
 
     def __init__(self, verbose: bool = True):
         self.verbose = verbose
         self.index = 0
+        self.model_bytes: Optional[int] = None
+        self.batch_bytes: Optional[int] = None
+
+    def set_sizes(self, model_bytes: Optional[int] = None,
+                  batch_bytes: Optional[int] = None) -> None:
+        if model_bytes is not None:
+            self.model_bytes = model_bytes
+        if batch_bytes is not None:
+            self.batch_bytes = batch_bytes
 
     def _snapshot(self, tag: str) -> None:
         if not self.verbose or self.index != 0:
             return
+        sizes = ""
+        if self.model_bytes is not None:
+            sizes += f" model_size={self.model_bytes / 2**20:.1f}MiB"
+        if self.batch_bytes is not None:
+            sizes += f" data_size={self.batch_bytes / 2**20:.1f}MiB"
         try:
             import jax
 
@@ -124,10 +146,10 @@ class MemoryUsageLogger:
             limit = stats.get("bytes_limit", 0) / 2**20
             logging.info(
                 f"[memory:{tag}] in_use={used:.1f}MiB peak={peak:.1f}MiB "
-                f"limit={limit:.1f}MiB"
+                f"limit={limit:.1f}MiB{sizes}"
             )
         except Exception:
-            logging.info(f"[memory:{tag}] memory_stats unavailable")
+            logging.info(f"[memory:{tag}] memory_stats unavailable{sizes}")
 
     def display_before_forward_pass(self, **_):
         self._snapshot("before_forward")

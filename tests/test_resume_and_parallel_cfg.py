@@ -88,3 +88,43 @@ def test_training_is_seed_deterministic(tmp_path):
     assert set(states[0]) == set(states[1])
     for k in states[0]:
         np.testing.assert_array_equal(states[0][k], states[1][k], err_msg=k)
+
+
+def test_shipped_tpu_yaml_drives_mesh_path(tmp_path):
+    """The committed gaviko_tpu.yaml turns on parallel/bf16/device_augment/
+    orbax; with only geometry shrunk it must run the mesh training path
+    end-to-end on the virtual 8-device mesh (VERDICT r1 item 8)."""
+    import train as train_mod
+    from gaviko_tpu.config import apply_method_override, load_config
+
+    yaml_path = os.path.join(
+        os.path.dirname(__file__), "..", "gaviko_tpu", "configs",
+        "gaviko_tpu.yaml",
+    )
+    config = load_config(yaml_path)
+    assert config["train"]["parallel"]["enabled"]
+    assert config["train"]["parallel"]["data"] == "auto"
+    assert config["train"]["precision"] == "bf16"
+    assert config["train"]["device_augment"]
+    assert config["train"]["checkpoint_backend"] == "orbax"
+    apply_method_override(config, "gaviko")
+
+    root = str(tmp_path)
+    csv_path, volumes = make_synth_dataset(root, n_train=8, n_val=8)
+    # Shrink geometry only — every feature flag stays as shipped.
+    config["utils"]["log_dir"] = os.path.join(root, "log")
+    config["utils"]["results_dir"] = os.path.join(root, "outputs")
+    config["data"].update(data_path=csv_path, image_folder=volumes,
+                          batch_size=8, num_workers=2)
+    config["model"].update(image_size=32, frames=24, backbone="vit-t16",
+                           num_prompts=4, prompt_latent_dim=8, local_dim=8,
+                           local_k=[2, 2, 2], DHW=[2, 2, 2])
+    config["train"].update(num_epochs=1, save_dir=os.path.join(root, "weights"),
+                           memory_verbose=False, flops_calculation=False)
+
+    result = train_mod.train(config)
+    log = pd.read_csv(result["csv_log"])
+    assert len(log) > 0 and np.isfinite(log["train_step_loss"]).all()
+    # orbax resume state written
+    assert os.path.isdir(os.path.join(root, "weights", "experiments",
+                                      "gaviko", "resume_state"))
