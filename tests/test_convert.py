@@ -135,3 +135,104 @@ def test_converted_keys_match_gaviko_but_not_vit():
         "cls_token", "pos_embedding", "conv_proj.0.weight", "conv_proj.0.bias",
         "transformer.norm.weight", "transformer.norm.bias",
     }
+
+
+def genuine_timm_tiny_in21k_state(seed=0):
+    """A state dict with the EXACT key inventory and shapes of timm's
+    vit_tiny_patch16_224_in21k checkpoint (the file the reference downloads,
+    ref: load_pretrained.py:14-24), transcribed offline: in21k variants carry
+    pre_logits.fc.* and a 21843-way head that the converter must drop
+    cleanly. Values are random — this validates key/shape handling, not
+    numerics (those are golden-tested above)."""
+    r = np.random.RandomState(seed)
+    d = 192
+    s = {
+        "cls_token": r.randn(1, 1, d),
+        "pos_embed": r.randn(1, 197, d),
+        "patch_embed.proj.weight": r.randn(d, 3, 16, 16),
+        "patch_embed.proj.bias": r.randn(d),
+        "norm.weight": r.randn(d),
+        "norm.bias": r.randn(d),
+        "pre_logits.fc.weight": r.randn(d, d),
+        "pre_logits.fc.bias": r.randn(d),
+        "head.weight": r.randn(21843, d),
+        "head.bias": r.randn(21843),
+    }
+    for i in range(12):
+        b = f"blocks.{i}"
+        s[f"{b}.norm1.weight"] = r.randn(d)
+        s[f"{b}.norm1.bias"] = r.randn(d)
+        s[f"{b}.attn.qkv.weight"] = r.randn(3 * d, d)
+        s[f"{b}.attn.qkv.bias"] = r.randn(3 * d)
+        s[f"{b}.attn.proj.weight"] = r.randn(d, d)
+        s[f"{b}.attn.proj.bias"] = r.randn(d)
+        s[f"{b}.norm2.weight"] = r.randn(d)
+        s[f"{b}.norm2.bias"] = r.randn(d)
+        s[f"{b}.mlp.fc1.weight"] = r.randn(4 * d, d)
+        s[f"{b}.mlp.fc1.bias"] = r.randn(4 * d)
+        s[f"{b}.mlp.fc2.weight"] = r.randn(d, 4 * d)
+        s[f"{b}.mlp.fc2.bias"] = r.randn(d)
+    return {k: v.astype(np.float32) for k, v in s.items()}
+
+
+def test_genuine_timm_inventory_converts_cleanly():
+    """Every genuine-checkpoint key either converts to its expected name or
+    is dropped (pre_logits.*, head.*) — no crash, no stray outputs."""
+    state = genuine_timm_tiny_in21k_state()
+    out = convert_timm_state(state, num_patches=1000, depth_dim=12)
+
+    expected = {"cls_token", "pos_embedding", "conv_proj.0.weight",
+                "conv_proj.0.bias", "transformer.norm.weight",
+                "transformer.norm.bias"}
+    for i in range(12):
+        expected |= {
+            f"transformer.attns.{i}.norm.weight",
+            f"transformer.attns.{i}.norm.bias",
+            f"transformer.attns.{i}.to_qkv.weight",
+            f"transformer.attns.{i}.to_qkv.bias",  # dropped later at load
+            f"transformer.attns.{i}.to_out.0.weight",
+            f"transformer.attns.{i}.to_out.0.bias",
+            f"transformer.mlps.{i}.net.0.weight",
+            f"transformer.mlps.{i}.net.0.bias",
+            f"transformer.mlps.{i}.net.1.weight",
+            f"transformer.mlps.{i}.net.1.bias",
+            f"transformer.mlps.{i}.net.4.weight",
+            f"transformer.mlps.{i}.net.4.bias",
+        }
+    assert set(out) == expected
+    assert not any("pre_logits" in k or k.startswith("head") for k in out)
+    assert out["pos_embedding"].shape == (1, 1001, 192)
+    assert out["conv_proj.0.weight"].shape == (192, 1, 12, 16, 16)
+    # Kernel inflation: every depth slice equals the RGB mean.
+    np.testing.assert_allclose(
+        out["conv_proj.0.weight"][:, 0, 3],
+        state["patch_embed.proj.weight"].mean(axis=1),
+        rtol=1e-6,
+    )
+
+
+def test_genuine_inventory_loads_with_reference_drop_semantics():
+    """End-to-end through load_state_dict: for GAViKO the converted block
+    weights land; the qkv bias and in21k-only tensors are silently dropped
+    (SURVEY.md §3.5 silent-drop behaviors)."""
+    import jax
+
+    from gaviko_tpu.models.factory import build_model
+    from gaviko_tpu.weights.state_dict import load_state_dict
+
+    state = genuine_timm_tiny_in21k_state()
+    conv = convert_timm_state(state, num_patches=8, depth_dim=12)
+    cfg = dict(image_size=32, image_patch_size=16, frames=24,
+               frame_patch_size=12, num_classes=5, channels=1, pool="cls",
+               backbone="vit-t16", method="gaviko", freeze_vit=True,
+               num_prompts=4, prompt_latent_dim=8, local_dim=8,
+               local_k=[2, 2, 2], DHW=[2, 2, 2])
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), model.spec)
+    loaded, missing, unexpected = load_state_dict(params, conv)
+    assert "transformer.attns.0.to_qkv.weight" not in missing  # it loaded
+    assert all("to_qkv.bias" in k for k in unexpected)  # the only drops
+    np.testing.assert_array_equal(
+        np.asarray(loaded["transformer.attns.3.to_out.0.weight"]),
+        conv["transformer.attns.3.to_out.0.weight"],
+    )
