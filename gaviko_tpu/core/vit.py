@@ -94,17 +94,24 @@ def attention_block(
 
     from gaviko_tpu.ops import attention as attn_mod
     from gaviko_tpu.ops.flash_attention import fused_mhsa, fused_mhsa_supported
+    from gaviko_tpu.ops.hash_dropout import seed_from_key
 
+    # In-kernel hash dropout keeps the fused path active in training too
+    # (the reference's primary mode); the custom VJP replays the same mask.
     use_fused = (
         attn_mod._DEFAULT_IMPL == "flash"
-        and not (train and spec.dropout > 0.0)
         and fused_mhsa_supported(heads, dh, N)
     )
     if use_fused:
+        drop = spec.dropout if train else 0.0
+        if drop > 0.0:
+            seed = seed_from_key(rngs.next()).reshape(1)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
         pad = (-N) % 8
         if pad:
             qkv = jnp.pad(qkv, [(0, 0), (0, pad), (0, 0)])
-        out = fused_mhsa(qkv, heads, dh, dh ** -0.5, n_true)
+        out = fused_mhsa(qkv, seed, heads, dh, dh ** -0.5, n_true, drop)
         if pad:
             out = out[:, :N]
     else:
@@ -144,19 +151,25 @@ def feedforward_block(
     (ref: vision_transformer.py:26-38). Returns the branch output."""
     from gaviko_tpu.ops import attention as attn_mod
     from gaviko_tpu.ops.fused_mlp import fused_mlp, fused_mlp_supported
+    from gaviko_tpu.ops.hash_dropout import seed_from_key
 
     if (
         attn_mod._DEFAULT_IMPL == "flash"
-        and not (train and spec.dropout > 0.0)
         and fused_mlp_supported(x.shape[-1], p[f"{prefix}.net.1.weight"].shape[0], x.dtype)
     ):
-        # Fused kernel keeps the (tokens, mlp_dim) hidden in VMEM only.
+        # Fused kernel keeps the (tokens, mlp_dim) hidden in VMEM only;
+        # training dropout runs in-kernel with a mask-replaying backward.
+        drop = spec.dropout if train else 0.0
+        if drop > 0.0:
+            seed = seed_from_key(rngs.next()).reshape(1)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
         return fused_mlp(
             x,
             p[f"{prefix}.net.0.weight"], p[f"{prefix}.net.0.bias"],
             p[f"{prefix}.net.1.weight"].T, p[f"{prefix}.net.1.bias"],
             p[f"{prefix}.net.4.weight"].T, p[f"{prefix}.net.4.bias"],
-            1e-5, spec.gelu == "tanh",
+            seed, 1e-5, spec.gelu == "tanh", drop,
         )
     h = layer_norm(p, f"{prefix}.net.0", x)
     h = linear(p, f"{prefix}.net.1", h)

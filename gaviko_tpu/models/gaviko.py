@@ -71,29 +71,24 @@ def _local_self_attention(
 ) -> jax.Array:
     """Ref: gaviko.py:229-244. Returns branch output (caller adds residual).
 
-    In training mode the reference applies dropout on the attention
-    probabilities (attn_drop); that forces the materialized-mask XLA path.
-    The blockwise kernel serves eval/inference.
+    Training-mode attention-prob dropout (the reference's attn_drop) runs
+    in-kernel via hash bits with a mask-replaying backward, so the blockwise
+    kernel carries the REAL training workload; the XLA impl replays the same
+    bits and is bit-identical for the same rng stream.
     """
+    from gaviko_tpu.ops.hash_dropout import seed_from_key
+
     h = layer_norm(p, f"{prefix}.norm", x)
     h = linear(p, f"{prefix}.proj_down", h)  # [B, N, local_dim]
     qkv = h @ p[f"{prefix}.qkv.weight"].T  # qkv_bias=False
     q, k, v = jnp.split(qkv, 3, axis=-1)
     scale = spec.dim ** -0.5  # full model dim (reference quirk, gaviko.py:201)
-    if train and spec.attn_drop > 0.0:
-        from gaviko_tpu.ops.local_attention import local_mask_additive
-
-        mask = local_mask_additive(spec.DHW, spec.local_k)
-        dots = jnp.einsum(
-            "bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32
-        ) * scale + mask
-        attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
-        attn = dropout(attn, spec.attn_drop, True, rngs)
-        out = jnp.einsum("bnm,bmd->bnd", attn, v)
-    else:
-        out = masked_local_attention(
-            q, k, v, scale=scale, DHW=spec.DHW, local_k=spec.local_k, impl=impl
-        )
+    drop = spec.attn_drop if train else 0.0
+    seed = seed_from_key(rngs.next()).reshape(1) if drop > 0.0 else None
+    out = masked_local_attention(
+        q, k, v, scale=scale, DHW=spec.DHW, local_k=spec.local_k, impl=impl,
+        seed=seed, dropout_rate=drop,
+    )
     out = linear(p, f"{prefix}.proj_up", out)
     out = dropout(out, spec.proj_drop, train, rngs)
     return out

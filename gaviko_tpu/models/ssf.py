@@ -44,16 +44,21 @@ def _attn_block(p, prefix, x, spec, *, train, rngs, n_true=None):
 
     from gaviko_tpu.ops import attention as attn_mod
     from gaviko_tpu.ops.flash_attention import fused_mhsa, fused_mhsa_supported
+    from gaviko_tpu.ops.hash_dropout import seed_from_key
 
     if (
         attn_mod._DEFAULT_IMPL == "flash"
-        and not (train and spec.dropout > 0.0)
         and fused_mhsa_supported(heads, dh, N)
     ):
+        drop = spec.dropout if train else 0.0
+        if drop > 0.0:
+            seed = seed_from_key(rngs.next()).reshape(1)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
         padr = (-N) % 8
         if padr:
             qkv = jnp.pad(qkv, [(0, 0), (0, padr), (0, 0)])
-        out = fused_mhsa(qkv, heads, dh, dh ** -0.5, n_true)
+        out = fused_mhsa(qkv, seed, heads, dh, dh ** -0.5, n_true, drop)
         if padr:
             out = out[:, :N]
     else:

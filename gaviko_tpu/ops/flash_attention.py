@@ -21,10 +21,15 @@ Numerics: dots run on the MXU in the input dtype (bf16 fast path) with f32
 accumulation (preferred_element_type); softmax is f32. Probabilities are cast
 back to the value dtype for the PV dot.
 
-Backward: custom_vjp with a rematerialized XLA backward (exact VJP of
-softmax(qk^T * scale) v). Training paths that need attention-prob dropout use
-the XLA forward anyway (ops/attention.py), so the fused backward is a later
-optimization, not a correctness gap.
+Backward: custom_vjp with either a whole-K Pallas backward (bf16 fits VMEM)
+or a rematerialized XLA VJP.
+
+Training-path dropout runs IN-KERNEL: attention-prob dropout (ref:
+vision_transformer.py:50, 65-70) uses portable hash-derived bits
+(ops/hash_dropout.py) applied to the post-softmax probabilities, and the
+backward replays the identical mask from the same (seed, coordinates) — no
+N^2 residual, and the replay is exactly testable on CPU because the hash
+runs identically in interpret mode and plain XLA.
 """
 
 from __future__ import annotations
@@ -34,8 +39,19 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from gaviko_tpu.ops.hash_dropout import keep_mask
+
+
+def _no_seed():
+    return jnp.zeros((1,), jnp.int32)
+
+
+def _float0_like(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 NEG_INF = float("-inf")
 WHOLE_K_MAX = 2048  # whole-K score block: 2048^2 f32 = 16 MB > VMEM; real cap
@@ -195,7 +211,10 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 # those copies cost ~20% of a vit-b16 forward). Two heads per program keep
 # the lane dim at 128 (Mosaic requires last block dim % 128).
 
-def _fused_mhsa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_true, hp, dim_head):
+def _fused_mhsa_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
+                       scale, n_true, hp, dim_head, heads, dropout_rate):
+    b, h, qb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    block_q = q_ref.shape[0]
     for j in range(hp):
         sl = slice(j * dim_head, (j + 1) * dim_head)
         s = jax.lax.dot_general(
@@ -208,10 +227,20 @@ def _fused_mhsa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_true, hp, dim_hea
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
+        if dropout_rate > 0.0:
+            # Reference order: softmax -> dropout -> PV (vision_transformer.py
+            # :65-70); l is the pre-dropout row sum, so masking the raw exp
+            # and folding 1/(1-q) into the final scale is exact.
+            salt = b * heads + h * hp + j
+            keep = keep_mask(p.shape, seed_ref[0], dropout_rate, salt=salt,
+                             row_offset=qb * block_q)
+            p = jnp.where(keep, p, 0.0)
         o = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if dropout_rate > 0.0:
+            o = o * (1.0 / (1.0 - dropout_rate))
         o_ref[:, sl] = (o / l).astype(o_ref.dtype)
 
 
@@ -235,17 +264,21 @@ def _pick_block_q(n_pad: int, hp: int) -> int:
     return bq
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def fused_mhsa(qkv, heads: int, dim_head: int, scale: float, n_true: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_mhsa(qkv, seed, heads: int, dim_head: int, scale: float,
+               n_true: int, dropout_rate: float = 0.0):
     """qkv: [B, N_pad, 3*heads*dim_head] -> [B, N_pad, heads*dim_head].
 
     Rows >= n_true are padding: they may hold garbage on output (their
     queries still attend real keys) but never influence rows < n_true.
+    ``seed``: (1,) int32 hash-dropout seed (ignored when dropout_rate == 0);
+    the backward replays the identical mask from it.
     """
-    return _fused_mhsa_forward(qkv, heads, dim_head, scale, n_true)
+    return _fused_mhsa_forward(qkv, seed, heads, dim_head, scale, n_true,
+                               dropout_rate)
 
 
-def _fused_mhsa_forward(qkv, heads, dim_head, scale, n_true):
+def _fused_mhsa_forward(qkv, seed, heads, dim_head, scale, n_true, dropout_rate):
     B, n_pad, three_inner = qkv.shape
     inner = three_inner // 3
     hp = 2
@@ -256,10 +289,11 @@ def _fused_mhsa_forward(qkv, heads, dim_head, scale, n_true):
     out = pl.pallas_call(
         functools.partial(
             _fused_mhsa_kernel, scale=scale, n_true=n_true, hp=hp,
-            dim_head=dim_head,
+            dim_head=dim_head, heads=heads, dropout_rate=dropout_rate,
         ),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((None, block_q, hd), lambda b, h, i: (b, i, h),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n_pad, hd), lambda b, h, i: (b, 0, nh + h),
@@ -271,28 +305,44 @@ def _fused_mhsa_forward(qkv, heads, dim_head, scale, n_true):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_pad, inner), qkv.dtype),
         interpret=_use_interpret(),
-    )(qkv, qkv, qkv)
+    )(seed, qkv, qkv, qkv)
     return out
 
 
-def _fused_mhsa_fwd(qkv, heads, dim_head, scale, n_true):
-    return _fused_mhsa_forward(qkv, heads, dim_head, scale, n_true), (qkv,)
+def _fused_mhsa_fwd(qkv, seed, heads, dim_head, scale, n_true, dropout_rate):
+    out = _fused_mhsa_forward(qkv, seed, heads, dim_head, scale, n_true,
+                              dropout_rate)
+    return out, (qkv, seed)
 
 
-def _fused_mhsa_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
-                           dq_ref, dk_ref, dv_ref,
-                           *, scale, n_true, hp, dim_head):
-    """Whole-K attention backward for one (batch, head-pair) program.
+def _fused_mhsa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
+                           dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                           *, scale, n_true, hp, dim_head, heads,
+                           dropout_rate):
+    """Q-blocked attention backward; one (batch, head-pair, q-block) program.
 
-    Standard flash-backward algebra with P recomputed in VMEM:
-      P  = softmax(q k^T * scale)   (masked cols >= n_true)
-      dV = P^T dO
-      dP = dO V^T
-      dS = P * (dP - rowsum(dO * O))   where O = P V
+    Flash-backward algebra with P recomputed in VMEM and the dropout mask
+    replayed from (seed, coordinates) — identical bits to the forward:
+      P   = softmax(q k^T * scale)       (masked cols >= n_true)
+      P~  = keep/(1-q) * P               (identity when dropout_rate == 0)
+      dV  = P~^T dO
+      dP~ = dO V^T ;  dP = keep/(1-q) * dP~
+      dS  = P * (dP - rowsum(dP * P))    (rowsum(dP*P) == rowsum(dO*O) when
+                                          dropout is off, so one formula
+                                          serves both and the O-recompute
+                                          matmul is gone)
       dQ = scale * dS K ; dK = scale * dS^T Q
-    Heads are processed sequentially so only one score-sized f32 pair
-    (P, dS) is live at a time.
+    Queries are blocked so the live f32 buffers are (block_q, n_pad) — the
+    whole-K variant at ~1k tokens needs ~3 full N^2 f32 buffers (>12 MB) and
+    cannot fit VMEM. Softmax rows stay exact (every q block sees all keys);
+    dK/dV accumulate in f32 scratch across the sequential q-block dim and
+    are written on the last block. Heads are processed sequentially so only
+    a couple of score-sized buffers are live at a time.
     """
+    b, h, qb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nq = pl.num_programs(2)
+    block_q = q_ref.shape[0]
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
     for j in range(hp):
         sl = slice(j * dim_head, (j + 1) * dim_head)
         q = q_ref[:, sl]
@@ -309,22 +359,29 @@ def _fused_mhsa_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
         m = jnp.where(m == NEG_INF, 0.0, m)  # fully-masked pad rows
         e = jnp.exp(s - m)
         l = jnp.sum(e, axis=1, keepdims=True)
-        p = e / jnp.maximum(l, 1e-30)  # [N, N] f32
+        p = e / jnp.maximum(l, 1e-30)  # [block_q, n_pad] f32
 
-        pb = p.astype(v.dtype)
-        dv = jax.lax.dot_general(  # P^T dO
-            pb, do.astype(v.dtype), (((0,), (0,)), ((), ())),
+        if dropout_rate > 0.0:
+            keep = keep_mask(p.shape, seed_ref[0], dropout_rate,
+                             salt=b * heads + h * hp + j,
+                             row_offset=qb * block_q)
+            p_drop = jnp.where(keep, p * inv_keep, 0.0)
+        else:
+            p_drop = p
+        dv = jax.lax.dot_general(  # P~^T dO
+            p_drop.astype(v.dtype), do.astype(v.dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dp = jax.lax.dot_general(  # dO V^T
+        dpt = jax.lax.dot_general(  # dO V^T
             do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o = jax.lax.dot_general(  # recompute O rows for the softmax term
-            pb, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        delta = jnp.sum(do * o, axis=1, keepdims=True)
-        ds = (p * (dp - delta)).astype(q.dtype)  # [N, N]
+        if dropout_rate > 0.0:
+            dp = jnp.where(keep, dpt * inv_keep, 0.0)
+        else:
+            dp = dpt
+        delta = jnp.sum(dp * p, axis=1, keepdims=True)
+        ds = (p * (dp - delta)).astype(q.dtype)  # [block_q, n_pad]
         dq = jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -332,75 +389,121 @@ def _fused_mhsa_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         dq_ref[:, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[:, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[:, sl] = dv.astype(dv_ref.dtype)
+
+        @pl.when(qb == 0)
+        def _():
+            dk_acc[:, sl] = dk
+            dv_acc[:, sl] = dv
+
+        @pl.when(qb > 0)
+        def _():
+            dk_acc[:, sl] = dk_acc[:, sl] + dk
+            dv_acc[:, sl] = dv_acc[:, sl] + dv
+
+        @pl.when(qb == nq - 1)
+        def _():
+            dk_ref[:, sl] = dk_acc[:, sl].astype(dk_ref.dtype)
+            dv_ref[:, sl] = dv_acc[:, sl].astype(dv_ref.dtype)
 
 
-def _fused_mhsa_bwd(heads, dim_head, scale, n_true, res, g):
-    (qkv,) = res
+def _fused_mhsa_bwd(heads, dim_head, scale, n_true, dropout_rate, res, g):
+    qkv, seed = res
     B, n_pad, three_inner = qkv.shape
     inner = three_inner // 3
     hp = 2
     nh = heads // hp
     hd = hp * dim_head
-    # Whole-K per program keeps ~3 score-sized f32 buffers plus 7 (n_pad, hd)
-    # I/O blocks live. Fall back to the rematerialized XLA VJP when the
-    # estimate exceeds the 16 MB VMEM budget (f32 training at ~1k tokens
-    # trips this; bf16 fits).
-    itemsize = jnp.dtype(qkv.dtype).itemsize
-    vmem_est = 3 * n_pad * n_pad * 4 + 7 * n_pad * hd * itemsize * 2
-    if vmem_est > 14_000_000:
-        return (_fused_mhsa_bwd_xla(qkv, g, heads, dim_head, scale, n_true),)
+    # Q-blocked: per program, ~3 (block_q, n_pad) f32 buffers + K/V/scratch.
+    # Pick block_q so those stay within ~7 MB of the 16 MB VMEM.
+    block_q = n_pad
+    while 3 * block_q * n_pad * 4 > 7_000_000 and block_q % 2 == 0 \
+            and (block_q // 2) % 8 == 0:
+        block_q //= 2
+    if 3 * block_q * n_pad * 4 > 12_000_000:  # degenerate shape: XLA VJP
+        return (
+            _fused_mhsa_bwd_xla(qkv, seed, g, heads, dim_head, scale, n_true,
+                                dropout_rate),
+            _float0_like(seed),
+        )
+    nq = n_pad // block_q
 
     specs = [
-        pl.BlockSpec((None, n_pad, hd), lambda b, h: (b, 0, h),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, block_q, hd), lambda b, h, i: (b, i, h),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, n_pad, hd), lambda b, h: (b, 0, nh + h),
+        pl.BlockSpec((None, n_pad, hd), lambda b, h, i: (b, 0, nh + h),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, n_pad, hd), lambda b, h: (b, 0, 2 * nh + h),
+        pl.BlockSpec((None, n_pad, hd), lambda b, h, i: (b, 0, 2 * nh + h),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, n_pad, hd), lambda b, h: (b, 0, h),
+        pl.BlockSpec((None, block_q, hd), lambda b, h, i: (b, i, h),
                      memory_space=pltpu.VMEM),
     ]
-    out_spec = pl.BlockSpec((None, n_pad, hd), lambda b, h: (b, 0, h),
-                            memory_space=pltpu.VMEM)
+    kv_out_spec = pl.BlockSpec((None, n_pad, hd), lambda b, h, i: (b, 0, h),
+                               memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(
             _fused_mhsa_bwd_kernel, scale=scale, n_true=n_true, hp=hp,
-            dim_head=dim_head,
+            dim_head=dim_head, heads=heads, dropout_rate=dropout_rate,
         ),
-        grid=(B, nh),
+        grid=(B, nh, nq),
         in_specs=specs,
-        out_specs=(out_spec, out_spec, out_spec),
+        out_specs=(
+            pl.BlockSpec((None, block_q, hd), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            kv_out_spec,
+            kv_out_spec,
+        ),
         out_shape=tuple(
             jax.ShapeDtypeStruct((B, n_pad, inner), qkv.dtype) for _ in range(3)
         ),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, hd), jnp.float32),
+            pltpu.VMEM((n_pad, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=_use_interpret(),
-    )(qkv, qkv, qkv, g)
-    return (jnp.concatenate([dq, dk, dv], axis=-1),)
+    )(seed, qkv, qkv, qkv, g)
+    return (jnp.concatenate([dq, dk, dv], axis=-1), _float0_like(seed))
 
 
-def _fused_mhsa_bwd_xla(qkv, g, heads, dim_head, scale, n_true):
+def mhsa_reference(qkv, seed, heads, dim_head, scale, n_true,
+                   dropout_rate=0.0):
+    """Pure-XLA forward with the SAME semantics (and, under dropout, the SAME
+    hash-derived mask) as the fused kernel — the rematerialized backward and
+    the CPU equivalence tests both build on it."""
     B, n_pad, three_inner = qkv.shape
     inner = three_inner // 3
 
-    def ref(qkv):
-        def to_heads(t):
-            return t.reshape(B, n_pad, heads, dim_head).transpose(0, 2, 1, 3)
+    def to_heads(t):
+        return t.reshape(B, n_pad, heads, dim_head).transpose(0, 2, 1, 3)
 
-        q = to_heads(qkv[..., :inner])
-        k = to_heads(qkv[..., inner:2 * inner])
-        v = to_heads(qkv[..., 2 * inner:])
-        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                       preferred_element_type=jnp.float32) * scale
-        if n_pad != n_true:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-            s = jnp.where(col < n_true, s, NEG_INF)
-        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhnm,bhmd->bhnd", p, v)
-        return o.transpose(0, 2, 1, 3).reshape(B, n_pad, inner)
+    q = to_heads(qkv[..., :inner])
+    k = to_heads(qkv[..., inner:2 * inner])
+    v = to_heads(qkv[..., 2 * inner:])
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if n_pad != n_true:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        s = jnp.where(col < n_true, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0:
+        salt = (jax.lax.broadcasted_iota(jnp.int32, (B, heads, 1, 1), 0) * heads
+                + jax.lax.broadcasted_iota(jnp.int32, (B, heads, 1, 1), 1))
+        keep = keep_mask(s.shape, seed[0], dropout_rate, salt=salt)
+        p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
+    return o.transpose(0, 2, 1, 3).reshape(B, n_pad, inner)
 
-    _, vjp = jax.vjp(ref, qkv)
+
+def _fused_mhsa_bwd_xla(qkv, seed, g, heads, dim_head, scale, n_true,
+                        dropout_rate):
+    _, vjp = jax.vjp(
+        lambda t: mhsa_reference(t, seed, heads, dim_head, scale, n_true,
+                                 dropout_rate),
+        qkv,
+    )
     return vjp(g)[0]
 
 
@@ -411,7 +514,8 @@ fused_mhsa.defvjp(_fused_mhsa_fwd, _fused_mhsa_bwd)
 # Masked local attention (GAViKO 3D window), single head
 # ---------------------------------------------------------------------------
 
-def _local_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, DHW, local_k, n_true):
+def _local_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
+                  scale, DHW, local_k, n_true, dropout_rate):
     """Whole-K local attention; 3D-window additive mask evaluated inline.
 
     Window predicate per axis (q at (d,h,w), key at (d2,h2,w2), window k):
@@ -446,21 +550,32 @@ def _local_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, DHW, local_k, n_true):
     m_safe = jnp.where(m == NEG_INF, 0.0, m)
     p = jnp.where(ok, jnp.exp(s - m_safe), 0.0)
     l = jnp.sum(p, axis=1, keepdims=True)
+    scale_out = 1.0
+    if dropout_rate > 0.0:
+        # softmax -> dropout -> PV (ref applies nn.Dropout on the local
+        # attention probabilities too, gaviko.py:235-243).
+        keep = keep_mask(p.shape, seed_ref[0], dropout_rate,
+                         salt=pl.program_id(0), row_offset=qb * block_q)
+        p = jnp.where(keep, p, 0.0)
+        scale_out = 1.0 / (1.0 - dropout_rate)
     o = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[:] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    o_ref[:] = (o * scale_out / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def flash_local_attention(q, k, v, scale: float, DHW: Tuple[int, int, int],
-                          local_k: Tuple[int, int, int]):
-    """Single-head local attention: q, k, v [B, N, dl], N == prod(DHW)."""
-    return _local_forward(q, k, v, scale, DHW, local_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def flash_local_attention(q, k, v, seed, scale: float,
+                          DHW: Tuple[int, int, int],
+                          local_k: Tuple[int, int, int],
+                          dropout_rate: float = 0.0):
+    """Single-head local attention: q, k, v [B, N, dl], N == prod(DHW).
+    ``seed``: (1,) int32 hash-dropout seed (ignored when dropout_rate == 0)."""
+    return _local_forward(q, k, v, seed, scale, DHW, local_k, dropout_rate)
 
 
-def _local_forward(q, k, v, scale, DHW, local_k):
+def _local_forward(q, k, v, seed, scale, DHW, local_k, dropout_rate):
     B, N, dl = q.shape
     block_q = _round_up(N, 8)
     while block_q * _round_up(N, 8) * 4 > 4_500_000 and block_q % 2 == 0:
@@ -473,10 +588,11 @@ def _local_forward(q, k, v, scale, DHW, local_k):
     out = pl.pallas_call(
         functools.partial(
             _local_kernel, scale=scale, DHW=tuple(DHW),
-            local_k=tuple(local_k), n_true=N,
+            local_k=tuple(local_k), n_true=N, dropout_rate=dropout_rate,
         ),
         grid=(B, n_pad // block_q),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((None, block_q, dl), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n_pad, dl), lambda b, i: (b, 0, 0),
@@ -488,28 +604,40 @@ def _local_forward(q, k, v, scale, DHW, local_k):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_pad, dl), q.dtype),
         interpret=_use_interpret(),
-    )(q, k, v)
+    )(seed, q, k, v)
     return out[:, :N, :] if n_pad != N else out
 
 
-def _local_fwd(q, k, v, scale, DHW, local_k):
-    return _local_forward(q, k, v, scale, DHW, local_k), (q, k, v)
+def _local_fwd(q, k, v, seed, scale, DHW, local_k, dropout_rate):
+    out = _local_forward(q, k, v, seed, scale, DHW, local_k, dropout_rate)
+    return out, (q, k, v, seed)
 
 
-def _local_bwd(scale, DHW, local_k, res, g):
+def local_reference(q, k, v, seed, scale, DHW, local_k, dropout_rate=0.0):
+    """Pure-XLA forward matching the kernel bit-for-bit under dropout
+    (same hash mask); used by the rematerialized backward and CPU tests."""
     from gaviko_tpu.ops.local_attention import local_mask_additive
 
-    q, k, v = res
     mask = local_mask_additive(DHW, local_k)
+    s = jnp.einsum("bnd,bmd->bnm", q, k,
+                   preferred_element_type=jnp.float32) * scale + mask
+    p = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0:
+        B = q.shape[0]
+        salt = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
+        keep = keep_mask(s.shape, seed[0], dropout_rate, salt=salt)
+        p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+    return jnp.einsum("bnm,bmd->bnd", p.astype(v.dtype), v)
 
-    def ref(q, k, v):
-        s = jnp.einsum("bnd,bmd->bnm", q, k,
-                       preferred_element_type=jnp.float32) * scale + mask
-        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-        return jnp.einsum("bnm,bmd->bnd", p, v)
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+def _local_bwd(scale, DHW, local_k, dropout_rate, res, g):
+    q, k, v, seed = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: local_reference(q, k, v, seed, scale, DHW, local_k,
+                                        dropout_rate),
+        q, k, v,
+    )
+    return (*vjp(g), _float0_like(seed))
 
 
 flash_local_attention.defvjp(_local_fwd, _local_bwd)

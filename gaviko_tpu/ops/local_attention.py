@@ -56,23 +56,28 @@ def masked_local_attention(
     DHW: Tuple[int, int, int],
     local_k: Tuple[int, int, int],
     impl: str = "xla",
+    seed: jax.Array = None,
+    dropout_rate: float = 0.0,
 ) -> jax.Array:
     """Single-head local attention over the [B, N, dl] latent stream.
 
     N must equal prod(DHW). ``scale`` is the caller's (the reference scales by
     the FULL model dim ** -0.5, not the latent dim — gaviko.py:201 — so it is
-    passed in rather than derived here).
+    passed in rather than derived here). Attention-prob dropout (the
+    reference's attn_drop, gaviko.py:235-243) uses hash-derived bits from
+    ``seed`` so the flash kernel and the XLA path produce IDENTICAL outputs
+    for the same seed.
     """
-    if impl == "flash":
-        from gaviko_tpu.ops.flash_attention import flash_local_attention
+    from gaviko_tpu.ops.flash_attention import (
+        flash_local_attention,
+        local_reference,
+    )
 
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    if impl == "flash":
         return flash_local_attention(
-            q, k, v, scale=scale, DHW=DHW, local_k=local_k
+            q, k, v, seed, scale=scale, DHW=DHW, local_k=local_k,
+            dropout_rate=dropout_rate,
         )
-    mask = local_mask_additive(DHW, local_k)
-    dots = jnp.einsum(
-        "bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    dots = dots + mask
-    attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
-    return jnp.einsum("bnm,bmd->bnd", attn, v)
+    return local_reference(q, k, v, seed, scale, DHW, local_k, dropout_rate)

@@ -50,5 +50,5 @@ def test_flash_local_matches_xla(DHW, local_k):
     scale = 768 ** -0.5
     want = masked_local_attention(q, k, v, scale=scale, DHW=DHW, local_k=local_k,
                                   impl="xla")
-    got = flash_local_attention(q, k, v, scale, DHW, local_k)
+    got = flash_local_attention(q, k, v, jnp.zeros((1,), jnp.int32), scale, DHW, local_k)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

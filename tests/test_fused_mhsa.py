@@ -11,6 +11,10 @@ from gaviko_tpu.ops import attention as attn_mod
 from gaviko_tpu.ops.attention import _xla_attention
 from gaviko_tpu.ops.flash_attention import fused_mhsa, fused_mhsa_supported
 
+
+def _noseed():
+    return jnp.zeros((1,), jnp.int32)
+
 from tests.torch_ref import TINY_MODEL_CFG
 
 
@@ -22,7 +26,7 @@ def test_fused_matches_xla():
     qkv = jnp.asarray(rng.randn(B, n_pad, 3 * inner).astype(np.float32))
     n_true = 41
 
-    got = fused_mhsa(qkv, H, D, D ** -0.5, n_true)
+    got = fused_mhsa(qkv, _noseed(), H, D, D ** -0.5, n_true)
 
     def to_heads(t):
         return t.reshape(B, n_pad, H, D).transpose(0, 2, 1, 3)
@@ -45,7 +49,7 @@ def test_fused_gradients_match():
     qkv = jnp.asarray(rng.randn(B, N, 3 * inner).astype(np.float32))
 
     def loss_fused(qkv):
-        return jnp.sum(fused_mhsa(qkv, H, D, 0.125, N) ** 2)
+        return jnp.sum(fused_mhsa(qkv, _noseed(), H, D, 0.125, N) ** 2)
 
     def loss_ref(qkv):
         def to_heads(t):
@@ -96,7 +100,7 @@ def test_fused_gradients_with_padding():
     qkv = jnp.asarray(qkv)
 
     def loss_fused(qkv):
-        out = fused_mhsa(qkv, H, D, 0.125, n_true)
+        out = fused_mhsa(qkv, _noseed(), H, D, 0.125, n_true)
         return jnp.sum(out[:, :n_true] ** 2)
 
     def loss_ref(qkv):
