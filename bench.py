@@ -1,21 +1,28 @@
-"""Headline benchmark: vit-b16 inference throughput (volumes/sec/chip).
+"""Benchmarks: vit-b16 inference (headline) + vit-b16 train + GAViKO vit-l16.
 
-Workload: the reference's vit-b16 backbone at (1, 120, 160, 160) — 1000
-patches + cls, 12 layers (BASELINE.md "workload shape") — batched inference
-in bf16 with the Pallas fused-attention path.
+Workloads (BASELINE.md "workload shape", (1, 120, 160, 160) volumes):
+- headline: vit-b16 inference, bf16, batch 32 — 1000 patches + cls, 12 layers.
+- train: vit-b16 full-fine-tune (``fft``) train step at batch 8 — forward with
+  dropout + backward + global-norm clip + Adam, bf16 compute / fp32 master
+  (the reference's primary mode, ref: src/train.py:257-361).
+- flagship: GAViKO vit-l16 inference at batch 8 (gaviko.yaml's backbone) —
+  dual-stream attention, GPA fusion, masked local attention.
 
-Methodology: the axon relay adds ~25 ms fixed overhead per dispatch, so a
-single timed call under-reports the chip. We chain ITERS forwards inside one
-jit with a data dependence between iterations (defeats loop-invariant
-hoisting) and report per-forward time.
+Methodology: the axon relay adds ~25 ms fixed overhead per dispatch and
+block_until_ready does not sync through it, so a single timed call
+under-reports the chip. Each benchmark chains ITERS iterations inside one jit
+with a DATA DEPENDENCE between iterations (defeats loop-invariant hoisting)
+and forces a scalar readback; reported time is per-iteration.
 
-Baseline for ``vs_baseline``: the north-star target is >= 5x an A100 running
-the PyTorch reference (BASELINE.json). The reference publishes no numbers;
-from its eager fp16 non-flash implementation (~215 GFLOP/volume forward,
-typical eager-mode A100 utilization) we estimate ~150 vol/s on A100, making
-the target 750 vol/s. vs_baseline = measured / 750.
+Baselines for ``vs_baseline`` (the reference publishes no numbers; estimates
+from its eager fp16 non-flash implementation on A100, target = 5x A100):
+- vit-b16 inference ~215 GFLOP/vol fwd -> ~150 vol/s on A100 -> target 750.
+- vit-b16 train ~3.2x fwd FLOPs (fwd+bwd) + optimizer -> ~45 vol/s -> 225.
+- GAViKO vit-l16 ~3.7x vit-b16 FLOPs + dual-stream/GPA overhead at batch 8
+  -> ~30 vol/s on A100 -> target 150.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: the headline {"metric", "value", "unit",
+"vs_baseline"} plus an "extra" list carrying the other two metrics.
 """
 
 from __future__ import annotations
@@ -25,12 +32,29 @@ import time
 
 import numpy as np
 
-BATCH = 32
+INFER_BATCH = 32
+TRAIN_BATCH = 8
+GAVIKO_BATCH = 8
 ITERS = 10
-TARGET_VOL_PER_S = 750.0  # 5x estimated A100 reference throughput
+TARGET_INFER = 750.0   # 5x estimated A100 reference inference throughput
+TARGET_TRAIN = 225.0   # 5x estimated A100 reference train throughput
+TARGET_GAVIKO = 150.0  # 5x estimated A100 GAViKO vit-l16 inference
 
 
-def main():
+def _bf16_params(jax, jnp, params):
+    return jax.tree.map(
+        lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t, params
+    )
+
+
+def _timeit(fn, *args):
+    float(fn(*args))  # compile + warm up
+    t0 = time.time()
+    float(fn(*args))
+    return (time.time() - t0) / ITERS
+
+
+def bench_infer_b16():
     import jax
     import jax.numpy as jnp
 
@@ -45,12 +69,9 @@ def main():
         gelu="tanh",
     )
     model = build_model(cfg)
-    params = model.init(jax.random.PRNGKey(0), model.spec)
-    params = jax.tree.map(
-        lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t, params
-    )
+    params = _bf16_params(jax, jnp, model.init(jax.random.PRNGKey(0), model.spec))
     vol = jnp.asarray(
-        np.random.RandomState(0).rand(BATCH, 1, 120, 160, 160)
+        np.random.RandomState(0).rand(INFER_BATCH, 1, 120, 160, 160)
     ).astype(jnp.bfloat16)
 
     def chain(params, x):
@@ -59,18 +80,105 @@ def main():
             return x + out[0, 0].astype(x.dtype) * jnp.bfloat16(1e-30)
         return jax.lax.fori_loop(0, ITERS, body, x)[0, 0, 0, 0, 0]
 
-    g = jax.jit(chain)
-    float(g(params, vol))  # compile + warm up
-    t0 = time.time()
-    float(g(params, vol))
-    dt = (time.time() - t0) / ITERS
-    vol_per_s = BATCH / dt
+    dt = _timeit(jax.jit(chain), params, vol)
+    return INFER_BATCH / dt
 
+
+def bench_train_b16():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gaviko_tpu.models.factory import build_model
+    from gaviko_tpu.train.losses import focal_loss
+
+    cfg = dict(
+        image_size=160, image_patch_size=16, frames=120, frame_patch_size=12,
+        num_classes=5, channels=1, pool="cls", backbone="vit-b16",
+        method="fft", dropout=0.1, emb_dropout=0.1, gelu="tanh",
+    )
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), model.spec)  # fp32 master
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-4))
+    opt_state = tx.init(params)
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(rng.rand(TRAIN_BATCH, 1, 120, 160, 160).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 5, size=TRAIN_BATCH).astype(np.int32))
+    key = jax.random.PRNGKey(1)
+
+    def loss_fn(p, step_rng):
+        pc = _bf16_params(jax, jnp, p)
+        logits = model.apply(
+            pc, vol.astype(jnp.bfloat16), model.spec, train=True, rng=step_rng
+        )
+        return focal_loss(logits.astype(jnp.float32), labels, gamma=1.2)
+
+    def chain(params, opt_state):
+        def body(i, carry):
+            p, o = carry
+            grads = jax.grad(loss_fn)(p, jax.random.fold_in(key, i))
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o
+        p, _ = jax.lax.fori_loop(0, ITERS, body, (params, opt_state))
+        return jax.tree.leaves(p)[0].reshape(-1)[0]
+
+    dt = _timeit(jax.jit(chain), params, opt_state)
+    return TRAIN_BATCH / dt
+
+
+def bench_gaviko_l16():
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.models.factory import build_model
+
+    cfg = dict(
+        image_size=160, image_patch_size=16, frames=120, frame_patch_size=12,
+        num_classes=5, channels=1, pool="cls", backbone="vit-l16",
+        method="gaviko", freeze_vit=True, num_prompts=32,
+        prompt_latent_dim=20, local_dim=20, local_k=[6, 6, 6],
+        DHW=[10, 10, 10], attn_drop=0.2, proj_drop=0.2, share_factor=1,
+        dropout=0.1, emb_dropout=0.1, gelu="tanh",
+    )
+    model = build_model(cfg)
+    params = _bf16_params(jax, jnp, model.init(jax.random.PRNGKey(0), model.spec))
+    vol = jnp.asarray(
+        np.random.RandomState(0).rand(GAVIKO_BATCH, 1, 120, 160, 160)
+    ).astype(jnp.bfloat16)
+
+    def chain(params, x):
+        def body(i, x):
+            out = model.apply(params, x, model.spec)
+            return x + out[0, 0].astype(x.dtype) * jnp.bfloat16(1e-30)
+        return jax.lax.fori_loop(0, ITERS, body, x)[0, 0, 0, 0, 0]
+
+    dt = _timeit(jax.jit(chain), params, vol)
+    return GAVIKO_BATCH / dt
+
+
+def main():
+    infer = bench_infer_b16()
+    train = bench_train_b16()
+    gaviko = bench_gaviko_l16()
     print(json.dumps({
         "metric": "vit-b16 MRI inference throughput (120x160x160, bf16, batch 32)",
-        "value": round(vol_per_s, 1),
+        "value": round(infer, 1),
         "unit": "volumes/sec/chip",
-        "vs_baseline": round(vol_per_s / TARGET_VOL_PER_S, 3),
+        "vs_baseline": round(infer / TARGET_INFER, 3),
+        "extra": [
+            {
+                "metric": "vit-b16 fft train-step throughput (bf16 compute, batch 8)",
+                "value": round(train, 1),
+                "unit": "volumes/sec/chip",
+                "vs_baseline": round(train / TARGET_TRAIN, 3),
+            },
+            {
+                "metric": "GAViKO vit-l16 inference throughput (bf16, batch 8)",
+                "value": round(gaviko, 1),
+                "unit": "volumes/sec/chip",
+                "vs_baseline": round(gaviko / TARGET_GAVIKO, 3),
+            },
+        ],
     }))
 
 

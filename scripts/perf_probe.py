@@ -1,0 +1,168 @@
+"""Developer perf probe: decompose the vit-b16 bf16 forward on the real chip.
+
+Each component is timed with the chained-iteration methodology from bench.py
+(data dependence between iterations, one scalar readback) because the axon
+relay adds ~25 ms per dispatch and block_until_ready does not sync through
+it. Not part of the test suite; run manually:
+
+    python scripts/perf_probe.py [full|attn|mlp|qkv|patchify] ...
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+B, N_PAD, DIM, HEADS, DH, MLP = 32, 1008, 768, 12, 64, 3072
+ITERS = 20
+
+
+def timeit(jitted, *args):
+    import jax
+
+    float(jitted(*args))
+    t0 = time.time()
+    float(jitted(*args))
+    return (time.time() - t0) / ITERS * 1000  # ms per iteration
+
+
+def probe_full():
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.models.factory import build_model
+
+    cfg = dict(
+        image_size=160, image_patch_size=16, frames=120, frame_patch_size=12,
+        num_classes=5, channels=1, pool="cls", backbone="vit-b16",
+        method="fft", dropout=0.1, emb_dropout=0.1, gelu="tanh",
+    )
+    model = build_model(cfg)
+    params = jax.tree.map(
+        lambda t: t.astype(jnp.bfloat16),
+        model.init(jax.random.PRNGKey(0), model.spec),
+    )
+    vol = jnp.asarray(np.random.RandomState(0).rand(B, 1, 120, 160, 160)
+                      ).astype(jnp.bfloat16)
+
+    def chain(params, x):
+        def body(i, x):
+            out = model.apply(params, x, model.spec)
+            return x + out[0, 0].astype(x.dtype) * jnp.bfloat16(1e-30)
+        return jax.lax.fori_loop(0, ITERS, body, x)[0, 0, 0, 0, 0]
+
+    ms = timeit(jax.jit(chain), params, vol)
+    print(f"full forward: {ms:.2f} ms/batch ({B / ms * 1000:.1f} vol/s)")
+
+
+def probe_attn():
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.ops.flash_attention import fused_mhsa
+
+    rng = np.random.RandomState(0)
+    qkv = jnp.asarray(rng.randn(B, N_PAD, 3 * HEADS * DH)).astype(jnp.bfloat16)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def chain(qkv):
+        def body(i, qkv):
+            out = fused_mhsa(qkv, seed, HEADS, DH, DH ** -0.5, 1001, 0.0)
+            return qkv + out[0, 0, 0].astype(qkv.dtype) * jnp.bfloat16(1e-30)
+        return jax.lax.fori_loop(0, ITERS, body, qkv)[0, 0, 0]
+
+    ms = timeit(jax.jit(chain), qkv)
+    print(f"fused_mhsa: {ms:.2f} ms/call -> x12 = {12 * ms:.1f} ms")
+
+
+def probe_mlp():
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.ops.fused_mlp import fused_mlp
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, N_PAD, DIM)).astype(jnp.bfloat16)
+    gamma = jnp.ones((DIM,), jnp.bfloat16)
+    beta = jnp.zeros((DIM,), jnp.bfloat16)
+    w1 = jnp.asarray(rng.randn(DIM, MLP) * 0.02).astype(jnp.bfloat16)
+    b1 = jnp.zeros((MLP,), jnp.bfloat16)
+    w2 = jnp.asarray(rng.randn(MLP, DIM) * 0.02).astype(jnp.bfloat16)
+    b2 = jnp.zeros((DIM,), jnp.bfloat16)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def chain(x):
+        def body(i, x):
+            out = fused_mlp(x, gamma, beta, w1, b1, w2, b2, seed, 1e-5, True, 0.0)
+            return x + out[0, 0, 0].astype(x.dtype) * jnp.bfloat16(1e-30)
+        return jax.lax.fori_loop(0, ITERS, body, x)[0, 0, 0]
+
+    ms = timeit(jax.jit(chain), x)
+    print(f"fused_mlp: {ms:.2f} ms/call -> x12 = {12 * ms:.1f} ms")
+
+
+def probe_qkv():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, N_PAD, DIM)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.randn(3 * HEADS * DH, DIM) * 0.02).astype(jnp.bfloat16)
+    wo = jnp.asarray(rng.randn(DIM, HEADS * DH) * 0.02).astype(jnp.bfloat16)
+
+    def chain(x):
+        def body(i, x):
+            qkv = x @ w.T
+            out = qkv[..., : HEADS * DH] @ wo.T
+            return x + out[0, 0, 0].astype(x.dtype) * jnp.bfloat16(1e-30)
+        return jax.lax.fori_loop(0, ITERS, body, x)[0, 0, 0]
+
+    ms = timeit(jax.jit(chain), x)
+    print(f"qkv GEMM + out-proj: {ms:.2f} ms/call -> x12 = {12 * ms:.1f} ms")
+
+
+def probe_patchify():
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.config import make_spec
+    from gaviko_tpu.core.vit import patchify_embed
+
+    cfg = dict(
+        image_size=160, image_patch_size=16, frames=120, frame_patch_size=12,
+        num_classes=5, channels=1, pool="cls", backbone="vit-b16",
+        method="fft",
+    )
+    spec = make_spec(cfg)
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(rng.rand(B, 1, 120, 160, 160)).astype(jnp.bfloat16)
+    p = {
+        "conv_proj.0.weight": jnp.asarray(
+            rng.randn(DIM, 1, 12, 16, 16) * 0.02).astype(jnp.bfloat16),
+        "conv_proj.0.bias": jnp.zeros((DIM,), jnp.bfloat16),
+    }
+
+    def chain(vol):
+        def body(i, vol):
+            out = patchify_embed(p, "conv_proj.0", vol, spec)
+            return vol + out[0, 0, 0].astype(vol.dtype) * jnp.bfloat16(1e-30)
+        return jax.lax.fori_loop(0, ITERS, body, vol)[0, 0, 0, 0, 0]
+
+    ms = timeit(jax.jit(chain), vol)
+    print(f"patchify: {ms:.2f} ms/call")
+
+
+PROBES = {
+    "full": probe_full,
+    "attn": probe_attn,
+    "mlp": probe_mlp,
+    "qkv": probe_qkv,
+    "patchify": probe_patchify,
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(PROBES)
+    for name in names:
+        PROBES[name]()
