@@ -35,7 +35,7 @@ import numpy as np
 INFER_BATCH = 32
 TRAIN_BATCH = 8
 GAVIKO_BATCH = 8
-ITERS = 10
+ITERS = 50  # amortizes the ~25 ms axon dispatch to <0.2% of a measurement
 TARGET_INFER = 750.0   # 5x estimated A100 reference inference throughput
 TARGET_TRAIN = 225.0   # 5x estimated A100 reference train throughput
 TARGET_GAVIKO = 150.0  # 5x estimated A100 GAViKO vit-l16 inference

@@ -138,6 +138,30 @@ def attention_block(
     return out
 
 
+def attention_block_res(
+    p: Params,
+    prefix: str,
+    x: jax.Array,
+    spec: ModelSpec,
+    *,
+    train: bool = False,
+    rngs: Optional[RngStream] = None,
+    n_true: Optional[int] = None,
+) -> jax.Array:
+    """x + attention branch (the universal `attention_block(...) + x` pattern).
+
+    A deliberate NON-fusion: folding the out-projection + residual into the
+    attention kernel was built and measured (round 2) at +0.4 ms/layer over
+    the composed path at vit-b16 B32 — XLA already fuses the residual add
+    into the projection GEMM's epilogue, and the in-kernel per-head-pair
+    projection partials lose MXU efficiency. The composed path (XLA LN +
+    one big qkv GEMM + fused_mhsa + XLA proj/residual) is the measured
+    optimum; this wrapper exists as the single dispatch point.
+    """
+    return attention_block(p, prefix, x, spec, train=train, rngs=rngs,
+                           n_true=n_true) + x
+
+
 def feedforward_block(
     p: Params,
     prefix: str,
@@ -178,6 +202,40 @@ def feedforward_block(
     h = linear(p, f"{prefix}.net.4", h)
     h = dropout(h, spec.dropout, train, rngs)
     return h
+
+
+def feedforward_block_res(
+    p: Params,
+    prefix: str,
+    x: jax.Array,
+    spec: ModelSpec,
+    *,
+    train: bool = False,
+    rngs: Optional[RngStream] = None,
+) -> jax.Array:
+    """x + MLP branch; the residual add runs inside the fused kernel (the x
+    block is already resident in VMEM), saving a 3-tensor HBM pass/layer."""
+    from gaviko_tpu.ops import attention as attn_mod
+    from gaviko_tpu.ops.fused_mlp import fused_mlp, fused_mlp_supported
+    from gaviko_tpu.ops.hash_dropout import seed_from_key
+
+    if (
+        attn_mod._DEFAULT_IMPL == "flash"
+        and fused_mlp_supported(x.shape[-1], p[f"{prefix}.net.1.weight"].shape[0], x.dtype)
+    ):
+        drop = spec.dropout if train else 0.0
+        if drop > 0.0:
+            seed = seed_from_key(rngs.next()).reshape(1)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+        return fused_mlp(
+            x,
+            p[f"{prefix}.net.0.weight"], p[f"{prefix}.net.0.bias"],
+            p[f"{prefix}.net.1.weight"].T, p[f"{prefix}.net.1.bias"],
+            p[f"{prefix}.net.4.weight"].T, p[f"{prefix}.net.4.bias"],
+            seed, 1e-5, spec.gelu == "tanh", drop, True,
+        )
+    return feedforward_block(p, prefix, x, spec, train=train, rngs=rngs) + x
 
 
 def add_cls_and_pos(p: Params, tokens: jax.Array) -> jax.Array:
@@ -223,13 +281,21 @@ def vit_apply(
     if pad:
         x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
     for i in range(spec.depth):
-        x = attention_block(
+        x = attention_block_res(
             params, f"transformer.layers.{i}.0", x, spec, train=train,
             rngs=rngs, n_true=n_true,
-        ) + x
-        x = feedforward_block(
+        )
+        x = feedforward_block_res(
             params, f"transformer.layers.{i}.1", x, spec, train=train, rngs=rngs
-        ) + x
+        )
+    if spec.pool == "cls":
+        # LayerNorm is per-token, so pooling the cls row FIRST is exact and
+        # skips a full (B, N, dim) normalization pass (row 0 is never a pad
+        # row, so the pad slice is unnecessary too).
+        return linear(
+            params, "mlp_head",
+            layer_norm(params, "transformer.norm", x[:, 0]),
+        )
     if pad:
         x = x[:, :n_true]
     x = layer_norm(params, "transformer.norm", x)

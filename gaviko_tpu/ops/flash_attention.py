@@ -215,33 +215,58 @@ def _fused_mhsa_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
                        scale, n_true, hp, dim_head, heads, dropout_rate):
     b, h, qb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     block_q = q_ref.shape[0]
+    n_pad = k_ref.shape[0]
+    # Padded keys are masked by an additive bias row folded into the exp
+    # subtract: the row max over unmasked garbage columns is still an upper
+    # bound, so softmax stays exact without a select pass over the N^2 block.
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    bias = jnp.where(col < n_true, 0.0, -1e30)
     for j in range(hp):
         sl = slice(j * dim_head, (j + 1) * dim_head)
+        # Scale folded into q: an (n, d) pass instead of the (n, n) score.
+        q = (q_ref[:, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
         s = jax.lax.dot_general(
-            q_ref[:, sl], k_ref[:, sl], (((1,), (1,)), ((), ())),
+            q, k_ref[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
-        if k_ref.shape[0] != n_true:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < n_true, s, NEG_INF)
+        )
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp(s - m + bias)
         if dropout_rate > 0.0:
             # Reference order: softmax -> dropout -> PV (vision_transformer.py
-            # :65-70); l is the pre-dropout row sum, so masking the raw exp
-            # and folding 1/(1-q) into the final scale is exact.
+            # :65-70); l is the PRE-dropout row sum, so it's reduced before
+            # masking the raw exp, and 1/(1-q) folds into the final scale.
+            l = jnp.sum(p, axis=1, keepdims=True)
             salt = b * heads + h * hp + j
             keep = keep_mask(p.shape, seed_ref[0], dropout_rate, salt=salt,
                              row_offset=qb * block_q)
             p = jnp.where(keep, p, 0.0)
-        o = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if dropout_rate > 0.0:
+            o = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             o = o * (1.0 / (1.0 - dropout_rate))
-        o_ref[:, sl] = (o / l).astype(o_ref.dtype)
+            o_ref[:, sl] = (o / l).astype(o_ref.dtype)
+        elif dim_head < 128:
+            # Ones-column ride-along: pad V to a full 128-lane tile with ones
+            # so one MXU dot returns [o | row-sum] — the row sum rides the
+            # otherwise-wasted lanes (dim_head 64 < the 128-lane MXU tile)
+            # and the VPU lane-reduction pass disappears. Measured ~5% off
+            # the whole kernel at vit-b16 geometry.
+            ones = jnp.ones((n_pad, 128 - dim_head), v_ref.dtype)
+            ve = jnp.concatenate([v_ref[:, sl], ones], axis=1)
+            ol = jax.lax.dot_general(
+                p.astype(v_ref.dtype), ve, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o = ol[:, :dim_head] / ol[:, dim_head:dim_head + 1]
+            o_ref[:, sl] = o.astype(o_ref.dtype)
+        else:
+            l = jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[:, sl] = (o / l).astype(o_ref.dtype)
 
 
 def fused_mhsa_supported(heads: int, dim_head: int, N: int) -> bool:

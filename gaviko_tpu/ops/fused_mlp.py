@@ -50,7 +50,7 @@ def gelu_exact_f32(x):
 
 
 def _mlp_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                o_ref, acc_ref, *, eps, approximate, dropout_rate):
+                o_ref, acc_ref, *, eps, approximate, dropout_rate, residual):
     """Grid = (row_blocks, mlp_chunks). The hidden dim streams in chunks so
     weight slices fit VMEM even for vit-l16 (dim 1024, mlp 4096); partial
     fc2 products accumulate in an f32 scratch, written out on the last
@@ -100,6 +100,10 @@ def _mlp_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         if dropout_rate > 0.0:
             out = apply_dropout(out, seed_ref[0], dropout_rate, salt=1,
                                 row_offset=i * block)
+        if residual:
+            # The caller's `branch + x` residual fused in (the x block is
+            # already resident); saves one 3-tensor HBM pass per layer.
+            out = out + x_ref[:].astype(jnp.float32)
         o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -127,17 +131,19 @@ def fused_mlp_supported(dim: int, mlp_dim: int, dtype) -> bool:
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def fused_mlp(x, gamma, beta, w1, b1, w2, b2, seed, eps: float,
-              approximate: bool, dropout_rate: float = 0.0):
+              approximate: bool, dropout_rate: float = 0.0,
+              residual: bool = False):
     """x: [B, N, dim]; w1: (dim, mlp), w2: (mlp, dim) natural layout.
-    ``seed``: (1,) int32 hash-dropout seed (ignored when dropout_rate == 0)."""
+    ``seed``: (1,) int32 hash-dropout seed (ignored when dropout_rate == 0).
+    ``residual=True`` returns x + branch instead of the branch alone."""
     return _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps,
-                              approximate, dropout_rate)
+                              approximate, dropout_rate, residual)
 
 
 def _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
-                       dropout_rate):
+                       dropout_rate, residual=False):
     B, N, dim = x.shape
     mlp_dim = w1.shape[1]
     rows = B * N
@@ -150,7 +156,7 @@ def _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
     nj = mlp_dim // chunk
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, eps=eps, approximate=approximate,
-                          dropout_rate=dropout_rate),
+                          dropout_rate=dropout_rate, residual=residual),
         grid=(n_pad // block, nj),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -176,16 +182,16 @@ def _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
 
 
 def _fused_mlp_fwd(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
-                   dropout_rate):
+                   dropout_rate, residual):
     return (
         _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps,
-                           approximate, dropout_rate),
+                           approximate, dropout_rate, residual),
         (x, gamma, beta, w1, b1, w2, b2, seed),
     )
 
 
 def mlp_reference(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
-                  dropout_rate=0.0):
+                  dropout_rate=0.0, residual=False):
     """Pure-XLA forward matching the kernel (same hash masks under dropout);
     backs the rematerialized VJP and the CPU equivalence tests."""
     from gaviko_tpu.ops.hash_dropout import keep_mask
@@ -210,17 +216,19 @@ def mlp_reference(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
         keep_o = keep_mask((B * N, dim), seed[0], dropout_rate,
                            salt=1).reshape(B, N, dim)
         out = jnp.where(keep_o, out * inv, 0.0)
+    if residual:
+        out = out + x.astype(jnp.float32)
     return out.astype(x.dtype)
 
 
-def _fused_mlp_bwd(eps, approximate, dropout_rate, res, g):
+def _fused_mlp_bwd(eps, approximate, dropout_rate, residual, res, g):
     import numpy as np
 
     x, gamma, beta, w1, b1, w2, b2, seed = res
     _, vjp = jax.vjp(
         lambda x, gamma, beta, w1, b1, w2, b2: mlp_reference(
             x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
-            dropout_rate,
+            dropout_rate, residual,
         ),
         x, gamma, beta, w1, b1, w2, b2,
     )

@@ -10,10 +10,13 @@ it. Not part of the test suite; run manually:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 B, N_PAD, DIM, HEADS, DH, MLP = 32, 1008, 768, 12, 64, 3072
 ITERS = 20
@@ -154,12 +157,54 @@ def probe_patchify():
     print(f"patchify: {ms:.2f} ms/call")
 
 
+def _block_inputs():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, N_PAD, DIM)).astype(jnp.bfloat16)
+    gamma = jnp.ones((DIM,), jnp.bfloat16)
+    beta = jnp.zeros((DIM,), jnp.bfloat16)
+    wqkv_t = jnp.asarray(rng.randn(DIM, 3 * DIM) * 0.02).astype(jnp.bfloat16)
+    wo_t = jnp.asarray(rng.randn(DIM, DIM) * 0.02).astype(jnp.bfloat16)
+    bo = jnp.zeros((DIM,), jnp.bfloat16)
+    return x, gamma, beta, wqkv_t, wo_t, bo
+
+
+def probe_composed():
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.ops.flash_attention import fused_mhsa
+
+    x, gamma, beta, wqkv_t, wo_t, bo = _block_inputs()
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def block(x):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        h = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+        h = h * gamma + beta
+        qkv = h @ wqkv_t
+        out = fused_mhsa(qkv, seed, HEADS, DH, DH ** -0.5, 1001, 0.0)
+        return x + (out @ wo_t + bo)
+
+    def chain(x):
+        def body(i, x):
+            return block(x) * jnp.bfloat16(1.0)
+        return jax.lax.fori_loop(0, ITERS, body, x)[0, 0, 0]
+
+    ms = timeit(jax.jit(chain), x)
+    print(f"composed attn block: {ms:.2f} ms/call -> x12 = {12 * ms:.1f} ms")
+
+
 PROBES = {
     "full": probe_full,
     "attn": probe_attn,
     "mlp": probe_mlp,
     "qkv": probe_qkv,
     "patchify": probe_patchify,
+    "composed": probe_composed,
 }
 
 if __name__ == "__main__":
