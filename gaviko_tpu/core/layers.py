@@ -73,11 +73,23 @@ def quick_gelu(x: jax.Array) -> jax.Array:
 
 
 def dropout(x: jax.Array, rate: float, enabled: bool, rngs: Optional[RngStream]) -> jax.Array:
-    """Inverted dropout; no-op when disabled or rate == 0."""
+    """Inverted dropout; no-op when disabled or rate == 0.
+
+    Bits come from the portable coordinate hash (ops/hash_dropout.py), not
+    jax.random.bernoulli: threefry costs ~100 VPU ops per element on TPU and
+    the 13 XLA dropout sites of a vit-b16 training step were measurable in
+    the step time. One rng key is still consumed per call site, so the
+    RngStream alignment (and therefore every other site's randomness) is
+    unchanged.
+    """
     if not enabled or rate == 0.0:
         return x
+    from gaviko_tpu.ops.hash_dropout import keep_mask, seed_from_key
+
+    seed = seed_from_key(rngs.next())
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rngs.next(), keep, shape=x.shape)
+    flat = x.reshape(-1, x.shape[-1]) if x.ndim != 2 else x
+    mask = keep_mask(flat.shape, seed, rate).reshape(x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 

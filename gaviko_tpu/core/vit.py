@@ -83,11 +83,26 @@ def attention_block(
     MeLO inject its LoRA-augmented qkv projection. ``n_true`` marks the real
     token count when the stream carries padding rows (keys >= n_true are
     masked; padded rows' outputs are garbage by contract)."""
-    h = layer_norm(p, f"{prefix}.norm", x)
+    from gaviko_tpu.ops import attention as _attn_mod
+    from gaviko_tpu.ops.ln_linear import fused_ln_linear, ln_linear_supported
+
+    # MeLO layers carry nested to_qkv.qkv names and inject qkv_override, so
+    # only resolve the plain name when no override is given.
+    wq = None if qkv_override is not None else p[f"{prefix}.to_qkv.weight"]
     if qkv_override is not None:
-        qkv = qkv_override(h)
+        qkv = qkv_override(layer_norm(p, f"{prefix}.norm", x))
+    elif (
+        _attn_mod._DEFAULT_IMPL == "flash"
+        and wq.dtype == x.dtype
+        and ln_linear_supported(x.shape[-1], wq.shape[0], x.dtype)
+    ):
+        # LN fused into the qkv GEMM: the normalized activations never
+        # round-trip HBM (ops/ln_linear.py).
+        qkv = fused_ln_linear(
+            x, p[f"{prefix}.norm.weight"], p[f"{prefix}.norm.bias"], wq
+        )
     else:
-        qkv = h @ p[f"{prefix}.to_qkv.weight"].T  # bias=False in the reference
+        qkv = layer_norm(p, f"{prefix}.norm", x) @ wq.T
     B, N, _ = qkv.shape
     heads, dh = spec.heads, spec.dim_head
     n_true = N if n_true is None else n_true
@@ -191,8 +206,8 @@ def feedforward_block(
         return fused_mlp(
             x,
             p[f"{prefix}.net.0.weight"], p[f"{prefix}.net.0.bias"],
-            p[f"{prefix}.net.1.weight"].T, p[f"{prefix}.net.1.bias"],
-            p[f"{prefix}.net.4.weight"].T, p[f"{prefix}.net.4.bias"],
+            p[f"{prefix}.net.1.weight"], p[f"{prefix}.net.1.bias"],
+            p[f"{prefix}.net.4.weight"], p[f"{prefix}.net.4.bias"],
             seed, 1e-5, spec.gelu == "tanh", drop,
         )
     h = layer_norm(p, f"{prefix}.net.0", x)
@@ -231,8 +246,8 @@ def feedforward_block_res(
         return fused_mlp(
             x,
             p[f"{prefix}.net.0.weight"], p[f"{prefix}.net.0.bias"],
-            p[f"{prefix}.net.1.weight"].T, p[f"{prefix}.net.1.bias"],
-            p[f"{prefix}.net.4.weight"].T, p[f"{prefix}.net.4.bias"],
+            p[f"{prefix}.net.1.weight"], p[f"{prefix}.net.1.bias"],
+            p[f"{prefix}.net.4.weight"], p[f"{prefix}.net.4.bias"],
             seed, 1e-5, spec.gelu == "tanh", drop, True,
         )
     return feedforward_block(p, prefix, x, spec, train=train, rngs=rngs) + x

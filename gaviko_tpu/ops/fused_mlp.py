@@ -5,8 +5,9 @@ and fc2 (~400 MB round trip per vit-b16 layer at batch 32). This kernel
 keeps both weight matrices resident in VMEM and streams row blocks, so the
 hidden exists only as a VMEM block.
 
-Weights are passed in natural (in, out) layout (transposed from the torch
-(out, in) storage by the caller — a trivial 5 MB copy that XLA hoists).
+Weights are consumed in the torch (out, in) storage layout directly: the
+MXU contracts transposed operands natively, so no transposed copy ever
+materializes (with updating params that copy would re-run every step).
 Forward-only fusion: training with inner dropout uses the unfused path; the
 backward is a rematerialized XLA VJP (custom_vjp), matching the other fused
 ops' contract.
@@ -21,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gaviko_tpu.ops.hash_dropout import apply_dropout
+from gaviko_tpu.ops.hash_dropout import apply_dropout, keep_mask
 
 
 def _use_interpret() -> bool:
@@ -69,7 +70,7 @@ def _mlp_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h = ((x - mean) * jax.lax.rsqrt(var + eps)).astype(o_ref.dtype)
     h = h * g_ref[:] + b_ref[:]
     h = jax.lax.dot_general(
-        h, w1_ref[:], (((1,), (0,)), ((), ())),
+        h, w1_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[:].astype(jnp.float32)
     if approximate:
@@ -79,10 +80,10 @@ def _mlp_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     if dropout_rate > 0.0:
         h = apply_dropout(h, seed_ref[0], dropout_rate, salt=0,
                           row_offset=i * block,
-                          col_offset=j * w1_ref.shape[1])
+                          col_offset=j * w1_ref.shape[0])
     h = h.astype(o_ref.dtype)
     part = jax.lax.dot_general(
-        h, w2_ref[:], (((1,), (0,)), ((), ())),
+        h, w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -107,7 +108,11 @@ def _mlp_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         o_ref[:] = out.astype(o_ref.dtype)
 
 
-_WEIGHT_VMEM_BUDGET = 11_000_000
+# v5e has 128 MB of VMEM behind a 32 MB default Mosaic limit (see
+# ARCHITECTURE.md); with vmem_limit_bytes raised, vit-l16's 16.8 MB weight
+# pair fits unchunked (nj == 1) with ample pipeline headroom.
+_WEIGHT_VMEM_BUDGET = 40_000_000
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _chunk_plan(dim: int, mlp_dim: int, itemsize: int):
@@ -135,7 +140,7 @@ def fused_mlp_supported(dim: int, mlp_dim: int, dtype) -> bool:
 def fused_mlp(x, gamma, beta, w1, b1, w2, b2, seed, eps: float,
               approximate: bool, dropout_rate: float = 0.0,
               residual: bool = False):
-    """x: [B, N, dim]; w1: (dim, mlp), w2: (mlp, dim) natural layout.
+    """x: [B, N, dim]; w1: (mlp, dim), w2: (dim, mlp) TORCH layout.
     ``seed``: (1,) int32 hash-dropout seed (ignored when dropout_rate == 0).
     ``residual=True`` returns x + branch instead of the branch alone."""
     return _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps,
@@ -145,8 +150,11 @@ def fused_mlp(x, gamma, beta, w1, b1, w2, b2, seed, eps: float,
 def _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
                        dropout_rate, residual=False):
     B, N, dim = x.shape
-    mlp_dim = w1.shape[1]
+    mlp_dim = w1.shape[0]
     rows = B * N
+    # Row-block size: 256 measured best as wired (3.13 vs 3.31 ms/call at
+    # vit-b16 B32 for 256 vs 1008); larger blocks won in an isolated lab but
+    # regressed in-model, so trust the wired probe.
     block = 256
     n_pad = ((rows + block - 1) // block) * block
     xf = x.reshape(rows, dim)
@@ -163,9 +171,9 @@ def _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
             pl.BlockSpec((block, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dim), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dim), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim, chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dim), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, dim), lambda i, j: (i, 0),
@@ -174,6 +182,7 @@ def _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
         scratch_shapes=[pltpu.VMEM((block, dim), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=_use_interpret(),
     )(seed, xf, gamma.reshape(1, dim), beta.reshape(1, dim), w1,
@@ -197,13 +206,13 @@ def mlp_reference(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
     from gaviko_tpu.ops.hash_dropout import keep_mask
 
     B, N, dim = x.shape
-    mlp_dim = w1.shape[1]
+    mlp_dim = w1.shape[0]
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     h = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     h = h * gamma + beta
-    h = (h @ w1 + b1.astype(jnp.float32))
+    h = (h @ w1.T + b1.astype(jnp.float32))
     h = jax.nn.gelu(h, approximate=True) if approximate else gelu_exact_f32(h)
     if dropout_rate > 0.0:
         inv = 1.0 / (1.0 - dropout_rate)
@@ -211,7 +220,7 @@ def mlp_reference(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
                            salt=0).reshape(B, N, mlp_dim)
         h = jnp.where(keep_h, h * inv, 0.0)
     h = h.astype(x.dtype)
-    out = h @ w2 + b2.astype(jnp.float32)
+    out = h @ w2.T + b2.astype(jnp.float32)
     if dropout_rate > 0.0:
         keep_o = keep_mask((B * N, dim), seed[0], dropout_rate,
                            salt=1).reshape(B, N, dim)
@@ -221,10 +230,209 @@ def mlp_reference(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
     return out.astype(x.dtype)
 
 
+def _gelu_grad_f32(a, approximate):
+    """d/da GELU(a) in f32, Mosaic-safe (no lax.erf)."""
+    if approximate:
+        c = 0.7978845608028654  # sqrt(2/pi)
+        u = c * (a + 0.044715 * a * a * a)
+        t = jnp.tanh(u)
+        du = c * (1.0 + 3.0 * 0.044715 * a * a)
+        return 0.5 * (1.0 + t) + 0.5 * a * (1.0 - t * t) * du
+    phi = jnp.exp(-0.5 * a * a) * 0.3989422804014327  # N(0,1) pdf
+    return 0.5 * (1.0 + erf_f32(a * 0.7071067811865476)) + a * phi
+
+
+def _mlp_bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                    dy_ref, dx_ref, dg_ref, db_ref, dw1_ref, db1_ref,
+                    dw2_ref, db2_ref,
+                    dw1_acc, db1_acc, dw2_acc, db2_acc, dg_acc, db_acc, *,
+                    eps, approximate, dropout_rate, residual):
+    """Row-blocked MLP backward with the hidden kept in VMEM.
+
+    The XLA rematerialized VJP round-trips the (rows, mlp) hidden through
+    HBM ~4x per layer (a, gelu(a), dg, da); here everything between the
+    GEMMs lives in registers/VMEM. Weight/bias/LN grads accumulate in f32
+    scratch across the sequential row grid and are written on the last
+    block. Dropout masks are REPLAYED from (seed, absolute coordinates) —
+    identical bits to the forward kernel.
+    """
+    i = pl.program_id(0)
+    ni = pl.num_programs(0)
+    block = x_ref.shape[0]
+    inv = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+
+    # Recompute the forward up to the hidden (same math as _mlp_kernel).
+    xf = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    h = (xhat.astype(x_ref.dtype) * g_ref[:] + b_ref[:])
+    a = jax.lax.dot_general(
+        h, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:].astype(jnp.float32)
+    if approximate:
+        gact = jax.nn.gelu(a, approximate=True)
+    else:
+        gact = gelu_exact_f32(a)
+    if dropout_rate > 0.0:
+        keep1 = keep_mask(gact.shape, seed_ref[0], dropout_rate, salt=0,
+                          row_offset=i * block)
+        gdrop = jnp.where(keep1, gact * inv, 0.0)
+    else:
+        gdrop = gact
+
+    dout = dy_ref[:].astype(jnp.float32)
+    dx_res = dout if residual else 0.0
+    if dropout_rate > 0.0:
+        keep2 = keep_mask(dout.shape, seed_ref[0], dropout_rate, salt=1,
+                          row_offset=i * block)
+        dout = jnp.where(keep2, dout * inv, 0.0)
+    db2 = jnp.sum(dout, axis=0, keepdims=True)
+    gdrop16 = gdrop.astype(x_ref.dtype)
+    dout16 = dout.astype(x_ref.dtype)
+    dw2 = jax.lax.dot_general(  # (dim, mlp) = dout^T @ gdrop
+        dout16, gdrop16, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dg = jax.lax.dot_general(  # (block, mlp) = dout @ w2
+        dout16, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if dropout_rate > 0.0:
+        dg = jnp.where(keep1, dg * inv, 0.0)
+    da = dg * _gelu_grad_f32(a, approximate)
+    da16 = da.astype(x_ref.dtype)
+    db1 = jnp.sum(da, axis=0, keepdims=True)
+    dw1 = jax.lax.dot_general(  # (mlp, dim) = da^T @ h
+        da16, h, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh = jax.lax.dot_general(  # (block, dim) = da @ w1
+        da16, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dgamma = jnp.sum(dh * xhat, axis=0, keepdims=True)
+    dbeta = jnp.sum(dh, axis=0, keepdims=True)
+    dxhat = dh * g_ref[:].astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2) + dx_res
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_acc[:] = dw1
+        db1_acc[:] = db1
+        dw2_acc[:] = dw2
+        db2_acc[:] = db2
+        dg_acc[:] = dgamma
+        db_acc[:] = dbeta
+
+    @pl.when(i > 0)
+    def _():
+        dw1_acc[:] = dw1_acc[:] + dw1
+        db1_acc[:] = db1_acc[:] + db1
+        dw2_acc[:] = dw2_acc[:] + dw2
+        db2_acc[:] = db2_acc[:] + db2
+        dg_acc[:] = dg_acc[:] + dgamma
+        db_acc[:] = db_acc[:] + dbeta
+
+    @pl.when(i == ni - 1)
+    def _():
+        dw1_ref[:] = dw1_acc[:].astype(dw1_ref.dtype)
+        db1_ref[:] = db1_acc[:].astype(db1_ref.dtype)
+        dw2_ref[:] = dw2_acc[:].astype(dw2_ref.dtype)
+        db2_ref[:] = db2_acc[:].astype(db2_ref.dtype)
+        dg_ref[:] = dg_acc[:].astype(dg_ref.dtype)
+        db_ref[:] = db_acc[:].astype(db_ref.dtype)
+
+
+def _mlp_bwd_pallas(x, gamma, beta, w1, b1, w2, b2, seed, g, eps, approximate,
+                    dropout_rate, residual):
+    B, N, dim = x.shape
+    mlp_dim = w1.shape[0]
+    rows = B * N
+    block = 256
+    n_pad = ((rows + block - 1) // block) * block
+    xf = x.reshape(rows, dim)
+    gf = g.reshape(rows, dim)
+    if n_pad != rows:
+        xf = jnp.pad(xf, [(0, n_pad - rows), (0, 0)])
+        gf = jnp.pad(gf, [(0, n_pad - rows), (0, 0)])
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),  # noqa: E731
+                                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, eps=eps, approximate=approximate,
+                          dropout_rate=dropout_rate, residual=residual),
+        grid=(n_pad // block,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, dim), full(1, dim),
+            full(mlp_dim, dim), full(1, mlp_dim), full(dim, mlp_dim),
+            pl.BlockSpec((block, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, dim), full(1, dim),
+            full(mlp_dim, dim), full(1, mlp_dim),
+            full(dim, mlp_dim), full(1, dim),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, dim), x.dtype),
+            jax.ShapeDtypeStruct((1, dim), gamma.dtype),
+            jax.ShapeDtypeStruct((1, dim), beta.dtype),
+            jax.ShapeDtypeStruct((mlp_dim, dim), w1.dtype),
+            jax.ShapeDtypeStruct((1, mlp_dim), b1.dtype),
+            jax.ShapeDtypeStruct((dim, mlp_dim), w2.dtype),
+            jax.ShapeDtypeStruct((1, dim), b2.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((mlp_dim, dim), jnp.float32),
+            pltpu.VMEM((1, mlp_dim), jnp.float32),
+            pltpu.VMEM((dim, mlp_dim), jnp.float32),
+            pltpu.VMEM((1, dim), jnp.float32),
+            pltpu.VMEM((1, dim), jnp.float32),
+            pltpu.VMEM((1, dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_use_interpret(),
+    )(seed, xf, gamma.reshape(1, dim), beta.reshape(1, dim),
+      w1, b1.reshape(1, mlp_dim), w2, gf)
+    dx, dgamma, dbeta, dw1, db1, dw2, db2 = outs
+    return (
+        dx[:rows].reshape(B, N, dim),
+        dgamma.reshape(gamma.shape),
+        dbeta.reshape(beta.shape),
+        dw1, db1.reshape(b1.shape), dw2, db2.reshape(b2.shape),
+    )
+
+
+def _mlp_bwd_supported(dim, mlp_dim, itemsize):
+    # Full weights + two f32 weight-grad accumulators resident.
+    return (
+        dim % 128 == 0 and mlp_dim % 128 == 0
+        and 2 * dim * mlp_dim * (itemsize + 4) <= 60_000_000
+    )
+
+
 def _fused_mlp_bwd(eps, approximate, dropout_rate, residual, res, g):
     import numpy as np
 
     x, gamma, beta, w1, b1, w2, b2, seed = res
+    dim, mlp_dim = x.shape[-1], w1.shape[0]
+    if _mlp_bwd_supported(dim, mlp_dim, jnp.dtype(x.dtype).itemsize):
+        grads = _mlp_bwd_pallas(x, gamma, beta, w1, b1, w2, b2, seed, g, eps,
+                                approximate, dropout_rate, residual)
+        return (*grads, np.zeros(seed.shape, dtype=jax.dtypes.float0))
     _, vjp = jax.vjp(
         lambda x, gamma, beta, w1, b1, w2, b2: mlp_reference(
             x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,

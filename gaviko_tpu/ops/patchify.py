@@ -34,25 +34,33 @@ def _use_interpret() -> bool:
 
 
 def _patchify_kernel(x_ref, w_ref, b_ref, perm_ref, o_ref, rows_ref,
-                     *, gh, gw, ph, pw, pd):
-    # x_ref: (pd, H, W) slab; rows_ref scratch: (pw, gh*gw, pd*ph)
+                     *, gh, gw, ph, pw, pd, kpad):
+    # x_ref: (pd, H, W) slab; rows_ref scratch: (gh*gw, pw*kpad) where each
+    # pw owns a kpad-wide (128-aligned) column stripe holding its pd*ph
+    # patch columns (stripe tails are dead — the matching w_ref rows are 0).
+    kdim = pd * ph
     for g in range(gh):
         sl = x_ref[:, g * ph:(g + 1) * ph, :]          # (pd, ph, W)
-        z = sl.reshape(pd * ph, gw * pw)               # leading collapse
-        z = jax.lax.dot_general(                        # lanes (gw,pw)->(pw,gw)
-            z, perm_ref[:], (((1,), (0,)), ((), ())),
+        z = sl.reshape(kdim, gw * pw)                  # leading collapse
+        # One dot does BOTH the lane permutation (gw,pw)->(pw,gw) and the
+        # transpose: contracting perm^T's dim 1 with z's lane dim yields
+        # (W, pd*ph) directly — no explicit (sublane<->lane) transpose op.
+        zt = jax.lax.dot_general(
+            perm_ref[:], z, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(sl.dtype)
-        zt = z.T                                       # (W, pd*ph), rows (pw, gw)
+        ).astype(sl.dtype)                             # (W=(pw,gw), pd*ph)
+        if kpad != kdim:
+            zt = jnp.pad(zt, [(0, 0), (0, kpad - kdim)])
         for q in range(pw):
-            rows_ref[q, g * gw:(g + 1) * gw, :] = zt[q * gw:(q + 1) * gw, :]
-    acc = jnp.zeros((gh * gw, o_ref.shape[-1]), jnp.float32)
-    for q in range(pw):
-        acc = acc + jax.lax.dot_general(
-            rows_ref[q], w_ref[q], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    o_ref[:] = acc.astype(o_ref.dtype) + b_ref[:]
+            rows_ref[g * gw:(g + 1) * gw,
+                     q * kpad:(q + 1) * kpad] = zt[q * gw:(q + 1) * gw, :]
+    # Single stacked GEMM replaces pw accumulating K=pd*ph products:
+    # (gh*gw, pw*kpad) @ (pw*kpad, dim) — deeper K, one MXU launch.
+    y = jax.lax.dot_general(
+        rows_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = y.astype(o_ref.dtype) + b_ref[:]
 
 
 def patchify_supported(spec) -> bool:
@@ -112,21 +120,29 @@ def patchify_pallas(img: jax.Array, weight: jax.Array, bias: jax.Array, spec) ->
     ph, pw = spec.image_patch_size
     gd, gh, gw = D // pd, H // ph, W // pw
     dim = weight.shape[0]
-    # (dim, pd, ph, pw) -> (pw, pd*ph, dim): per-pw GEMM slices with (pd, ph)
-    # column order matching the kernel's (pd*ph) rows layout.
-    w2 = weight[:, 0].transpose(3, 1, 2, 0).reshape(pw, pd * ph, dim)
-    w2 = w2.astype(img.dtype)
+    kdim = pd * ph
+    kpad = ((kdim + 127) // 128) * 128  # 128-aligned stripe per pw
+    # (dim, pd, ph, pw) -> stacked (pw*kpad, dim): stripe q holds the
+    # (pd, ph) weight slice for lane phase q; stripe tails stay zero so the
+    # kernel's dead scratch columns contribute nothing.
+    w4 = weight[:, 0].astype(img.dtype)  # (dim, pd, ph, pw)
+    w2 = jnp.concatenate([
+        jnp.pad(w4[:, :, :, q].reshape(dim, kdim).T,
+                [(0, kpad - kdim), (0, 0)])
+        for q in range(pw)
+    ], axis=0)  # (pw*kpad, dim); loop-invariant, hoisted by XLA under jit
     b2 = bias.reshape(1, dim).astype(img.dtype)
-    perm = jnp.asarray(_perm_matrix(gw, pw), img.dtype)
+    perm = jnp.asarray(_perm_matrix(gw, pw).T, img.dtype)
 
     x = img.reshape(B, gd, pd, H, W)  # contiguous split of D
     out = pl.pallas_call(
-        functools.partial(_patchify_kernel, gh=gh, gw=gw, ph=ph, pw=pw, pd=pd),
+        functools.partial(_patchify_kernel, gh=gh, gw=gw, ph=ph, pw=pw, pd=pd,
+                          kpad=kpad),
         grid=(B, gd),
         in_specs=[
             pl.BlockSpec((None, None, pd, H, W), lambda b, d: (b, d, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pw, pd * ph, dim), lambda b, d: (0, 0, 0),
+            pl.BlockSpec((pw * kpad, dim), lambda b, d: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dim), lambda b, d: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -137,7 +153,9 @@ def patchify_pallas(img: jax.Array, weight: jax.Array, bias: jax.Array, spec) ->
                                lambda b, d: (b, d, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, gd, gh * gw, dim), img.dtype),
-        scratch_shapes=[pltpu.VMEM((pw, gh * gw, pd * ph), img.dtype)],
+        scratch_shapes=[pltpu.VMEM((gh * gw, pw * kpad), img.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_use_interpret(),
     )(x, w2, b2, perm)
     return out.reshape(B, gd * gh * gw, dim)

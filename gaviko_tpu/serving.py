@@ -6,9 +6,16 @@ src/inference.py). For production deployment this module provides:
 - ``Predictor``: builds a model from config, overlays a trainable-only
   checkpoint on timm-converted weights, AOT-compiles the forward for a fixed
   micro-batch (jit lower/compile at startup, so first request pays no
-  compile), pads ragged batches, optional bf16 weights/compute.
+  compile), pads ragged batches, optional bf16 weights/compute. Checkpoints
+  hot-reload via ``reload_checkpoint`` (atomic params swap; in-flight calls
+  finish on the old weights).
+- ``BatchQueue``: cross-request batching — concurrent requests coalesce into
+  one device batch (up to ``batch_size``, flushed after ``max_wait_ms``), so
+  N concurrent single-volume requests cost ~1 forward instead of N padded
+  ones.
 - ``serve`` / serve.py CLI: stdlib HTTP server; POST /predict with an .npz
-  body (key ``data``) returns JSON logits + argmax class; GET /healthz.
+  body (key ``data``) returns JSON logits + argmax class; GET /healthz;
+  POST /reload {"checkpoint": path} swaps weights without downtime.
 """
 
 from __future__ import annotations
@@ -16,6 +23,9 @@ from __future__ import annotations
 import io
 import json
 import logging
+import queue
+import threading
+import time
 from typing import Optional, Sequence
 
 import numpy as np
@@ -34,21 +44,17 @@ class Predictor:
         import jax.numpy as jnp
 
         from gaviko_tpu.models.factory import build_model
-        from gaviko_tpu.models.pretrained import build_params
         from gaviko_tpu.data.transforms import eval_transform
 
+        self._jax = jax
         self._jnp = jnp
         self.batch_size = batch_size
         self.model = build_model(config["model"])
         self.spec = self.model.spec
-        params = build_params(
-            self.model, jax.random.PRNGKey(0),
-            pretrained_dir=pretrained_dir, checkpoint_path=checkpoint,
-        )
+        self._pretrained_dir = pretrained_dir
         cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-        self.params = jax.tree.map(
-            lambda t: t.astype(cdtype) if t.dtype == jnp.float32 else t, params
-        )
+        self._cdtype = cdtype
+        self.params = self._load_params(checkpoint)
         self._transform = eval_transform
         spec = self.spec
         shape = (
@@ -64,8 +70,29 @@ class Predictor:
             .lower(self.params, jax.ShapeDtypeStruct(shape, cdtype))
             .compile()
         )
-        self._cdtype = cdtype
         logging.info(f"Predictor ready: micro-batch {shape}, {dtype}")
+
+    def _load_params(self, checkpoint: Optional[str]):
+        from gaviko_tpu.models.pretrained import build_params
+
+        jax, jnp = self._jax, self._jnp
+        params = build_params(
+            self.model, jax.random.PRNGKey(0),
+            pretrained_dir=self._pretrained_dir, checkpoint_path=checkpoint,
+        )
+        return jax.tree.map(
+            lambda t: t.astype(self._cdtype)
+            if t.dtype == jnp.float32 else t,
+            params,
+        )
+
+    def reload_checkpoint(self, checkpoint: Optional[str]) -> None:
+        """Hot-swap weights without recompiling or downtime: the compiled
+        executable is shape/dtype-specialized, not weight-specialized, so a
+        new params tree drops in atomically (in-flight predictions finish on
+        the old reference)."""
+        self.params = self._load_params(checkpoint)
+        logging.info(f"Reloaded checkpoint {checkpoint!r}")
 
     def predict_logits(self, volumes: Sequence[np.ndarray]) -> np.ndarray:
         """volumes: list of (D, H, W) or (C, D, H, W) arrays -> [n, classes]."""
@@ -90,8 +117,68 @@ class Predictor:
         return self.predict_logits(volumes).argmax(axis=-1)
 
 
+class BatchQueue:
+    """Cross-request batching: concurrent ``submit`` calls coalesce into one
+    device batch of up to ``predictor.batch_size`` volumes; a partial batch
+    flushes after ``max_wait_ms``. One dispatcher thread owns the device, so
+    request handlers never contend for the TPU."""
+
+    def __init__(self, predictor: Predictor, max_wait_ms: float = 5.0):
+        self._predictor = predictor
+        self._max_wait = max_wait_ms / 1000.0
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, volume: np.ndarray, timeout: float = 60.0) -> np.ndarray:
+        """Blocking: returns the logits row for one (D,H,W)/(C,D,H,W) volume."""
+        done = threading.Event()
+        slot: dict = {}
+        self._queue.put((volume, done, slot))
+        if not done.wait(timeout):
+            raise TimeoutError("prediction timed out")
+        if "error" in slot:
+            raise slot["error"]
+        return slot["logits"]
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def _run(self):
+        bs = self._predictor.batch_size
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self._max_wait
+            while len(batch) < bs:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            vols = [item[0] for item in batch]
+            try:
+                logits = self._predictor.predict_logits(vols)
+                for (_, done, slot), row in zip(batch, logits):
+                    slot["logits"] = row
+                    done.set()
+            except Exception as e:  # noqa: BLE001 - deliver to every waiter
+                for _, done, slot in batch:
+                    slot["error"] = e
+                    done.set()
+
+
 def serve(predictor: Predictor, host: str = "127.0.0.1", port: int = 8477):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    batcher = BatchQueue(predictor)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -112,19 +199,24 @@ def serve(predictor: Predictor, host: str = "127.0.0.1", port: int = 8477):
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/predict":
-                self._reply(404, {"error": "unknown path"})
-                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(length)
-                with np.load(io.BytesIO(raw)) as z:
-                    vol = z["data"]
-                logits = predictor.predict_logits([vol])[0]
-                self._reply(200, {
-                    "logits": [float(x) for x in logits],
-                    "class": int(np.argmax(logits)),
-                })
+                if self.path == "/predict":
+                    with np.load(io.BytesIO(raw)) as z:
+                        vol = z["data"]
+                    # Concurrent requests coalesce into one device batch.
+                    logits = batcher.submit(vol)
+                    self._reply(200, {
+                        "logits": [float(x) for x in logits],
+                        "class": int(np.argmax(logits)),
+                    })
+                elif self.path == "/reload":
+                    payload = json.loads(raw.decode() or "{}")
+                    predictor.reload_checkpoint(payload.get("checkpoint"))
+                    self._reply(200, {"status": "reloaded"})
+                else:
+                    self._reply(404, {"error": "unknown path"})
             except Exception as e:  # noqa: BLE001 - report to client
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 

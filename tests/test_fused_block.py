@@ -50,9 +50,9 @@ def test_fused_mlp_residual():
     x = jnp.asarray(rng.randn(B, N, dim).astype(np.float32))
     gamma = jnp.ones((dim,), jnp.float32)
     beta = jnp.zeros((dim,), jnp.float32)
-    w1 = jnp.asarray((rng.randn(dim, mlp) * 0.05).astype(np.float32))
+    w1 = jnp.asarray((rng.randn(mlp, dim) * 0.05).astype(np.float32))
     b1 = jnp.zeros((mlp,), jnp.float32)
-    w2 = jnp.asarray((rng.randn(mlp, dim) * 0.05).astype(np.float32))
+    w2 = jnp.asarray((rng.randn(dim, mlp) * 0.05).astype(np.float32))
     b2 = jnp.zeros((dim,), jnp.float32)
     got = fused_mlp(x, gamma, beta, w1, b1, w2, b2, _noseed(), 1e-5, True,
                     0.0, True)

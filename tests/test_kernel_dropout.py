@@ -95,9 +95,9 @@ def test_fused_mlp_dropout_forward_and_grads():
     x = jnp.asarray(rng.randn(2, rows, dim).astype(np.float32))
     gamma = jnp.asarray(rng.randn(dim).astype(np.float32) * 0.1 + 1)
     beta = jnp.asarray(rng.randn(dim).astype(np.float32) * 0.1)
-    w1 = jnp.asarray(rng.randn(dim, mlp).astype(np.float32) * 0.05)
+    w1 = jnp.asarray(rng.randn(mlp, dim).astype(np.float32) * 0.05)
     b1 = jnp.asarray(rng.randn(mlp).astype(np.float32) * 0.05)
-    w2 = jnp.asarray(rng.randn(mlp, dim).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.randn(dim, mlp).astype(np.float32) * 0.05)
     b2 = jnp.asarray(rng.randn(dim).astype(np.float32) * 0.05)
     seed = _seed(6)
     args = (x, gamma, beta, w1, b1, w2, b2, seed)

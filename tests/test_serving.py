@@ -70,3 +70,76 @@ def test_http_endpoint(predictor):
             assert json.load(r)["status"] == "ok"
     finally:
         server.shutdown()
+
+
+def test_batch_queue_coalesces(predictor):
+    from gaviko_tpu.serving import BatchQueue
+
+    calls = []
+    orig = predictor.predict_logits
+
+    def counting(vols):
+        calls.append(len(vols))
+        return orig(vols)
+
+    predictor.predict_logits = counting
+    bq = BatchQueue(predictor, max_wait_ms=200.0)
+    try:
+        rng = np.random.RandomState(1)
+        vols = [rng.rand(24, 32, 32).astype(np.float32) for _ in range(2)]
+        results = [None, None]
+
+        def worker(i):
+            results[i] = bq.submit(vols[i])
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        want = orig(vols)
+        for i in range(2):
+            np.testing.assert_allclose(results[i], want[i], atol=1e-5)
+        # Both requests ran in one coalesced device batch.
+        assert calls == [2], calls
+    finally:
+        predictor.predict_logits = orig
+        bq.close()
+
+
+def test_batch_queue_propagates_errors(predictor):
+    from gaviko_tpu.serving import BatchQueue
+
+    orig = predictor.predict_logits
+    predictor.predict_logits = lambda vols: (_ for _ in ()).throw(
+        ValueError("boom"))
+    bq = BatchQueue(predictor, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="boom"):
+            bq.submit(np.zeros((24, 32, 32), np.float32))
+    finally:
+        predictor.predict_logits = orig
+        bq.close()
+
+
+def test_reload_checkpoint_swaps_weights(predictor, tmp_path):
+    import torch
+
+    rng = np.random.RandomState(2)
+    vols = [rng.rand(24, 32, 32).astype(np.float32)]
+    before = predictor.predict_logits(vols)
+    # Write a head-only overlay with shifted bias; logits must move by it.
+    shift = np.arange(5, dtype=np.float32)
+    ckpt = {
+        "mlp_head.bias": torch.tensor(
+            np.asarray(predictor.params["mlp_head.bias"], np.float32) + shift
+        ),
+    }
+    path = str(tmp_path / "overlay.pt")
+    torch.save(ckpt, path)
+    old = predictor.params
+    predictor.reload_checkpoint(path)
+    assert predictor.params is not old
+    after = predictor.predict_logits(vols)
+    np.testing.assert_allclose(after - before, np.tile(shift, (1, 1)),
+                               atol=1e-3)
