@@ -93,11 +93,14 @@ def attention_block(
         qkv = qkv_override(layer_norm(p, f"{prefix}.norm", x))
     elif (
         _attn_mod._DEFAULT_IMPL == "flash"
+        and not train
         and wq.dtype == x.dtype
         and ln_linear_supported(x.shape[-1], wq.shape[0], x.dtype)
     ):
         # LN fused into the qkv GEMM: the normalized activations never
-        # round-trip HBM (ops/ln_linear.py).
+        # round-trip HBM (ops/ln_linear.py). Inference-only: measured +3%
+        # at vit-b16 B32 eval but -4% on the train step (XLA's fused
+        # LN+GEMM VJP beats the kernel's backward there).
         qkv = fused_ln_linear(
             x, p[f"{prefix}.norm.weight"], p[f"{prefix}.norm.bias"], wq
         )

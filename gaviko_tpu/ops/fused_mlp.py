@@ -109,9 +109,12 @@ def _mlp_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 # v5e has 128 MB of VMEM behind a 32 MB default Mosaic limit (see
-# ARCHITECTURE.md); with vmem_limit_bytes raised, vit-l16's 16.8 MB weight
-# pair fits unchunked (nj == 1) with ample pipeline headroom.
-_WEIGHT_VMEM_BUDGET = 40_000_000
+# ARCHITECTURE.md), so vit-l16's 16.8 MB weight pair DOES fit unchunked —
+# but measured end-to-end it LOSES to XLA's unfused path at that geometry
+# (GAViKO vit-l16 B8: 169.5 vol/s unfused vs 160.9 fused; shallow row-block
+# pipelines amortize the big resident weights poorly). The budget therefore
+# gates fusion to vit-b16-and-smaller weight pairs, where it wins.
+_WEIGHT_VMEM_BUDGET = 12_000_000
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 

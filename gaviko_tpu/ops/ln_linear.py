@@ -26,9 +26,11 @@ def _use_interpret() -> bool:
 
 
 _VMEM_LIMIT = 100 * 1024 * 1024
-# Weight-pair budget: full W resident per program (v5e: 128 MB VMEM behind a
-# 32 MB default limit; see ARCHITECTURE.md).
-_WEIGHT_BUDGET = 40_000_000
+# Weight budget: vit-b16's 3.5 MB qkv weight wins (+3% at B32 eval) but
+# vit-l16's 6.3 MB loses ~8% (GAViKO B8: 175.0 vol/s unfused vs 160.9
+# fused) — shallow row-block pipelines amortize big resident weights
+# poorly. Gate to vit-b16-and-smaller.
+_WEIGHT_BUDGET = 4_000_000
 
 
 def ln_linear_supported(dim: int, out_dim: int, dtype) -> bool:
@@ -107,13 +109,115 @@ def _ln_linear_fwd(x, gamma, beta, w, eps):
     return _ln_linear_forward(x, gamma, beta, w, eps), (x, gamma, beta, w)
 
 
+def _ln_linear_bwd_kernel(x_ref, g_ref, b_ref, w_ref, dy_ref,
+                          dx_ref, dg_ref, db_ref, dw_ref,
+                          dw_acc, dg_acc, db_acc, *, eps):
+    """Row-blocked LN+Linear backward; LN recomputed in VMEM, weight/LN
+    grads accumulated in f32 scratch across the sequential row grid."""
+    i = pl.program_id(0)
+    ni = pl.num_programs(0)
+    xf = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    h = xhat.astype(x_ref.dtype) * g_ref[:] + b_ref[:]
+    dy = dy_ref[:]
+    dw = jax.lax.dot_general(  # (out, dim) = dy^T @ h
+        dy, h, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh = jax.lax.dot_general(  # (block, dim) = dy @ w
+        dy, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dgamma = jnp.sum(dh * xhat, axis=0, keepdims=True)
+    dbeta = jnp.sum(dh, axis=0, keepdims=True)
+    dxhat = dh * g_ref[:].astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[:] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dw_acc[:] = dw
+        dg_acc[:] = dgamma
+        db_acc[:] = dbeta
+
+    @pl.when(i > 0)
+    def _():
+        dw_acc[:] = dw_acc[:] + dw
+        dg_acc[:] = dg_acc[:] + dgamma
+        db_acc[:] = db_acc[:] + dbeta
+
+    @pl.when(i == ni - 1)
+    def _():
+        dw_ref[:] = dw_acc[:].astype(dw_ref.dtype)
+        dg_ref[:] = dg_acc[:].astype(dg_ref.dtype)
+        db_ref[:] = db_acc[:].astype(db_ref.dtype)
+
+
 def _ln_linear_bwd(eps, res, g):
     x, gamma, beta, w = res
-    _, vjp = jax.vjp(
-        lambda x, gamma, beta, w: ln_linear_reference(x, gamma, beta, w, eps),
-        x, gamma, beta, w,
+    B, N, dim = x.shape
+    out_dim = w.shape[0]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    if not (dim % 128 == 0 and out_dim % 128 == 0
+            and dim * out_dim * (itemsize + 4) <= 45_000_000):
+        _, vjp = jax.vjp(
+            lambda x, gamma, beta, w: ln_linear_reference(x, gamma, beta, w,
+                                                          eps),
+            x, gamma, beta, w,
+        )
+        return vjp(g)
+    rows = B * N
+    block = 256
+    n_pad = ((rows + block - 1) // block) * block
+    xf = x.reshape(rows, dim)
+    gf = g.reshape(rows, out_dim)
+    if n_pad != rows:
+        xf = jnp.pad(xf, [(0, n_pad - rows), (0, 0)])
+        gf = jnp.pad(gf, [(0, n_pad - rows), (0, 0)])
+    full = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),  # noqa: E731
+                                     memory_space=pltpu.VMEM)
+    dx, dgamma, dbeta, dw = pl.pallas_call(
+        functools.partial(_ln_linear_bwd_kernel, eps=eps),
+        grid=(n_pad // block,),
+        in_specs=[
+            pl.BlockSpec((block, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, dim), full(1, dim), full(out_dim, dim),
+            pl.BlockSpec((block, out_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, dim), full(1, dim), full(out_dim, dim),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, dim), x.dtype),
+            jax.ShapeDtypeStruct((1, dim), gamma.dtype),
+            jax.ShapeDtypeStruct((1, dim), beta.dtype),
+            jax.ShapeDtypeStruct((out_dim, dim), w.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((out_dim, dim), jnp.float32),
+            pltpu.VMEM((1, dim), jnp.float32),
+            pltpu.VMEM((1, dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_use_interpret(),
+    )(xf, gamma.reshape(1, dim), beta.reshape(1, dim), w, gf)
+    return (
+        dx[:rows].reshape(B, N, dim),
+        dgamma.reshape(gamma.shape),
+        dbeta.reshape(beta.shape),
+        dw,
     )
-    return vjp(g)
 
 
 fused_ln_linear.defvjp(_ln_linear_fwd, _ln_linear_bwd)

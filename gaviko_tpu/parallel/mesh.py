@@ -223,4 +223,27 @@ def make_parallel_train_step(
         out_shardings=(t_sh, o_sh, rep, rep),
         donate_argnums=(0, 1),
     )
-    return step, (trainable, frozen, opt_state)
+
+    def _eval_step(trainable, frozen, inputs, labels):
+        params = {**frozen, **trainable}
+        if compute_dtype != jnp.float32:
+            params = jax.tree.map(
+                lambda t: t.astype(compute_dtype)
+                if t.dtype == jnp.float32 else t,
+                params,
+            )
+        logits = model.apply(
+            params, inputs.astype(compute_dtype), model.spec
+        ).astype(jnp.float32)
+        loss = criterion(logits, labels)
+        correct = jnp.sum(jnp.argmax(logits, axis=1) == labels)
+        return loss, correct, logits
+
+    # Sharded eval: same placements as the train step, so validation batches
+    # ride the mesh instead of being re-replicated through jit defaults.
+    eval_step = jax.jit(
+        _eval_step,
+        in_shardings=(t_sh, f_sh, batch_sh, label_sh),
+        out_shardings=(rep, rep, rep),
+    )
+    return step, eval_step, (trainable, frozen, opt_state)

@@ -183,17 +183,15 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
         data_ax = n_dev // model_ax if data_ax == "auto" else int(data_ax)
         mesh = make_mesh(data=data_ax, model=model_ax)
         logging.info(f"Parallel training on mesh data={data_ax} x model={model_ax}")
-        train_step, (trainable, frozen, opt_state) = make_parallel_train_step(
-            model, criterion, tx, mesh, trainable, frozen, opt_state,
-            tp=model_ax > 1, zero=par_cfg.get("zero", True),
-            compute_dtype=compute_dtype,
-            device_augment=train_cfg.get("device_augment", False),
+        train_step, eval_step, (trainable, frozen, opt_state) = (
+            make_parallel_train_step(
+                model, criterion, tx, mesh, trainable, frozen, opt_state,
+                tp=model_ax > 1, zero=par_cfg.get("zero", True),
+                compute_dtype=compute_dtype,
+                device_augment=train_cfg.get("device_augment", False),
+            )
         )
         global_batch = make_global_batch_fn(mesh)
-        _, eval_step, _ = make_steps(
-            model, criterion, tx, compute_dtype,
-            device_augment=train_cfg.get("device_augment", False),
-        )
     else:
         train_step, eval_step, _ = make_steps(
             model, criterion, tx, compute_dtype,

@@ -51,4 +51,5 @@ def test_gradients_match():
 def test_supported_gate():
     assert ln_linear_supported(768, 2304, jnp.bfloat16)
     assert not ln_linear_supported(192, 576, jnp.bfloat16)  # 576 % 128 != 0
-    assert not ln_linear_supported(8192, 8192, jnp.bfloat16)  # weights > VMEM
+    # vit-l16 declined: measured slower than XLA at that geometry.
+    assert not ln_linear_supported(1024, 3072, jnp.bfloat16)

@@ -52,10 +52,14 @@ def test_dp_tp_train_step_runs_and_matches_single_device():
 
     # 4-way data x 2-way tensor parallel step.
     mesh = make_mesh(data=4, model=2)
-    step, (t_p, f_p, o_p) = make_parallel_train_step(
+    step, eval_step, (t_p, f_p, o_p) = make_parallel_train_step(
         model, cross_entropy_loss, tx, mesh, trainable, frozen, opt_state
     )
     t2, o2, loss2, correct2 = step(t_p, o_p, f_p, inputs, labels, key)
+    # Sharded eval step executes on the same mesh placements (t_p was
+    # donated into the train step, so eval uses the updated t2).
+    eloss, ecorrect, _ = eval_step(t2, f_p, inputs, labels)
+    assert np.isfinite(float(eloss)) and 0 <= int(ecorrect) <= inputs.shape[0]
 
     assert abs(float(loss1) - float(loss2)) < 1e-5
     assert int(correct1) == int(correct2)
