@@ -37,12 +37,14 @@ from gaviko_tpu.ops.attention import multi_head_attention
 # Blocks
 # ---------------------------------------------------------------------------
 
-def patchify_embed(p: Params, prefix: str, img: jax.Array, spec: ModelSpec) -> jax.Array:
+def patchify_embed(p: Params, prefix: str, img: jax.Array, spec: ModelSpec,
+                   pos: Optional[jax.Array] = None) -> jax.Array:
     """[B, C, D, H, W] -> [B, N, dim] tokens in (d, h, w) row-major order.
 
     Equivalent to the reference's Conv3d(kernel=stride=patch) + flatten +
     transpose (vision_transformer.py:126-128, 150-151), lowered as
-    reshape + GEMM.
+    reshape + GEMM. ``pos``: optional (N, dim) positional rows folded into
+    the embedding epilogue (saves the standalone XLA add pass).
     """
     from gaviko_tpu.ops import attention as attn_mod
     from gaviko_tpu.ops.patchify import patchify_fused, patchify_supported
@@ -52,7 +54,9 @@ def patchify_embed(p: Params, prefix: str, img: jax.Array, spec: ModelSpec) -> j
     if attn_mod._DEFAULT_IMPL == "flash" and patchify_supported(spec):
         # Pallas VMEM-gather kernel: ~3x faster than XLA's 8D-transpose
         # lowering on v5e (see ops/patchify.py).
-        return patchify_fused(img, w, bias, spec)
+        pz = pos if pos is not None else jnp.zeros(
+            (spec.num_patches, w.shape[0]), img.dtype)
+        return patchify_fused(img, w, bias, pz, spec)
     B, C, D, H, W = img.shape
     pd = spec.frame_patch_size
     ph, pw = spec.image_patch_size
@@ -64,6 +68,8 @@ def patchify_embed(p: Params, prefix: str, img: jax.Array, spec: ModelSpec) -> j
     w2 = w.reshape(w.shape[0], -1)  # (dim, patch_dim)
     y = jnp.einsum("bnk,dk->bnd", x, w2, preferred_element_type=jnp.float32)
     y = y.astype(x.dtype) + bias
+    if pos is not None:
+        y = y + pos.astype(y.dtype)
     return y
 
 
@@ -288,8 +294,15 @@ def vit_apply(
     ``train=True`` reproduces that.
     """
     rngs = RngStream(rng)
-    x = patchify_embed(params, "conv_proj.0", img, spec)
-    x = add_cls_and_pos(params, x)
+    # Token positional rows fold into the patchify epilogue; only the cls
+    # row's pos is added here.
+    pos = params["pos_embedding"]
+    x = patchify_embed(params, "conv_proj.0", img, spec,
+                       pos=pos[0, 1:1 + spec.num_patches])
+    B = x.shape[0]
+    cls = (params["cls_token"][0] + pos[:, 0]).astype(x.dtype)
+    x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, x.shape[-1])), x],
+                        axis=1)
     x = dropout(x, spec.emb_dropout, train, rngs)
     # Pad the token stream ONCE to a tile-friendly length; attention masks
     # keys >= n_true and the pad rows are sliced off before pooling. This

@@ -57,7 +57,11 @@ def _patch_embed_conv(p: Params, prefix: str, img: jax.Array, spec: ModelSpec) -
     from gaviko_tpu.ops.patchify import patchify_fused, patchify_supported
 
     if attn_mod._DEFAULT_IMPL == "flash" and patchify_supported(spec):
-        return patchify_fused(img, p[f"{prefix}.weight"], p[f"{prefix}.bias"], spec)
+        import jax.numpy as _jnp
+
+        w = p[f"{prefix}.weight"]
+        zeros = _jnp.zeros((spec.num_patches, w.shape[0]), img.dtype)
+        return patchify_fused(img, w, p[f"{prefix}.bias"], zeros, spec)
     B, C, D, H, W = img.shape
     pd = spec.frame_patch_size
     ph, pw = spec.image_patch_size

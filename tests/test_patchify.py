@@ -27,28 +27,59 @@ def _inputs(dim=192, seed=0):
     return img, w, b
 
 
+def _zeros_pos(w, img):
+    return jnp.zeros((SPEC.num_patches, w.shape[0]), img.dtype)
+
+
 def test_patchify_matches_reference():
     img, w, b = _inputs()
-    want = _patchify_reference(img, w, b, SPEC)
-    got = patchify_pallas(img, w, b, SPEC)
+    want = _patchify_reference(img, w, b, _zeros_pos(w, img), SPEC)
+    got = patchify_pallas(img, w, b, _zeros_pos(w, img), SPEC)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
 def test_patchify_small_outdim():
     img, w, b = _inputs(dim=48, seed=1)  # EVP prompt generator path
-    want = _patchify_reference(img, w, b, SPEC)
-    got = patchify_pallas(img, w, b, SPEC)
+    want = _patchify_reference(img, w, b, _zeros_pos(w, img), SPEC)
+    got = patchify_pallas(img, w, b, _zeros_pos(w, img), SPEC)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_patchify_pos_fused():
+    img, w, b = _inputs(seed=2)
+    rng = np.random.RandomState(9)
+    pos = jnp.asarray(rng.randn(SPEC.num_patches, w.shape[0]).astype(np.float32))
+    want = _patchify_reference(img, w, b, pos, SPEC)
+    got = patchify_pallas(img, w, b, pos, SPEC)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_patchify_pos_gradients():
+    img, w, b = _inputs(seed=3)
+    rng = np.random.RandomState(11)
+    pos = jnp.asarray(rng.randn(SPEC.num_patches, w.shape[0]).astype(np.float32))
+
+    def loss_fused(pos):
+        return jnp.sum(patchify_fused(img, w, b, pos, SPEC) ** 2)
+
+    def loss_ref(pos):
+        return jnp.sum(_patchify_reference(img, w, b, pos, SPEC) ** 2)
+
+    g1 = jax.grad(loss_fused)(pos)
+    g2 = jax.grad(loss_ref)(pos)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
 
 def test_patchify_gradients():
     img, w, b = _inputs()
 
     def loss_fused(img, w, b):
-        return jnp.sum(patchify_fused(img, w, b, SPEC) ** 2)
+        return jnp.sum(patchify_fused(img, w, b, _zeros_pos(w, img),
+                                      SPEC) ** 2)
 
     def loss_ref(img, w, b):
-        return jnp.sum(_patchify_reference(img, w, b, SPEC) ** 2)
+        return jnp.sum(_patchify_reference(img, w, b, _zeros_pos(w, img),
+                                           SPEC) ** 2)
 
     g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(img, w, b)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(img, w, b)
