@@ -317,7 +317,8 @@ def vit_apply(
             rngs=rngs, n_true=n_true,
         )
         x = feedforward_block_res(
-            params, f"transformer.layers.{i}.1", x, spec, train=train, rngs=rngs
+            params, f"transformer.layers.{i}.1", x, spec, train=train,
+            rngs=rngs,
         )
     if spec.pool == "cls":
         # LayerNorm is per-token, so pooling the cls row FIRST is exact and
