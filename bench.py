@@ -32,6 +32,10 @@ import time
 
 import numpy as np
 
+from gaviko_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()  # repeat bench runs skip the relay compile
+
 INFER_BATCH = 32
 TRAIN_BATCH = 8
 GAVIKO_BATCH = 8

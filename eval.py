@@ -32,6 +32,9 @@ from gaviko_tpu.train.metrics import (
     roc_auc_ovr_macro,
 )
 from gaviko_tpu.utils.logging import setup_logging
+from gaviko_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()  # persistent XLA cache: repeat runs skip the relay compile
 
 
 def versioned_path(results_dir: str, base: str) -> str:

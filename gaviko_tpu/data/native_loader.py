@@ -84,6 +84,14 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
                 ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
             ]
+            lib.widen_i16_f32.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_int,
+            ]
+            lib.widen_u16_f32.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_int,
+            ]
             if not _self_test(lib):
                 logging.info("native loader self-test failed; using numpy")
                 lib = None
@@ -125,3 +133,17 @@ def rescale_intensity_native(
     lib.rescale_f32(x.ctypes.data, out.ctypes.data, n, lo, scale, out_min,
                     nthreads)
     return out
+
+
+def widen_f32(x: np.ndarray, nthreads: int = DEFAULT_THREADS) -> np.ndarray:
+    """dtype-widen a volume to float32; int16/uint16 (the common raw MRI
+    dtypes) take the multithreaded C++ path, everything else numpy astype.
+    Always returns a fresh contiguous array (callers may mutate)."""
+    lib = get_lib()
+    if lib is not None and x.dtype in (np.int16, np.uint16) \
+            and x.flags["C_CONTIGUOUS"]:
+        out = np.empty(x.shape, np.float32)
+        fn = lib.widen_i16_f32 if x.dtype == np.int16 else lib.widen_u16_f32
+        fn(x.ctypes.data, out.ctypes.data, x.size, nthreads)
+        return out
+    return x.astype(np.float32)  # astype copies, matching the native path

@@ -31,9 +31,12 @@ class VolumeDataset:
         return len(self.paths)
 
     def load(self, i: int, rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+        from gaviko_tpu.data.native_loader import widen_f32
+
         with np.load(self.paths[i]) as z:
             vol = z["data"]
-        vol = np.expand_dims(vol, 0).astype(np.float32)  # (1, D, H, W)
+        # int16/uint16 raw MRI volumes widen via the multithreaded C++ core.
+        vol = np.expand_dims(widen_f32(vol), 0)  # (1, D, H, W) float32
         if self.train:
             return self.transform(vol, rng or np.random.RandomState())
         return self.transform(vol)
@@ -161,6 +164,19 @@ class Loader:
                     )
             return inputs, labels, n_valid
 
+        def put(item) -> bool:
+            # Never block forever on a full queue: a consumer that abandons
+            # the iterator mid-epoch (break / exception) sets `stop` but
+            # drains nothing more, and a plain q.put would strand this thread
+            # (plus a prefetched batch of volumes) for the process lifetime.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             # An exception here (corrupt/missing .npz) must reach the
             # consumer: swallowing it would end the epoch early and silently
@@ -170,13 +186,15 @@ class Loader:
                 for b in batches:
                     if stop.is_set():
                         return
-                    q.put(assemble(b, epoch_seed))
+                    if not put(assemble(b, epoch_seed)):
+                        return
             except BaseException as e:  # noqa: BLE001 - re-raised in __iter__
-                q.put(e)
+                put(e)
             else:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
+        self._last_producer = t  # introspectable by tests (leak regression)
         t.start()
         try:
             while True:

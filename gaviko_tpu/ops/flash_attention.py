@@ -298,6 +298,15 @@ def fused_mhsa(qkv, seed, heads: int, dim_head: int, scale: float,
     queries still attend real keys) but never influence rows < n_true.
     ``seed``: (1,) int32 hash-dropout seed (ignored when dropout_rate == 0);
     the backward replays the identical mask from it.
+
+    Contract — bounded pad keys: pad-key columns are masked by an ADDITIVE
+    bias folded into the exp subtract, so the softmax row max is taken over
+    the unmasked scores including pad columns. That max is exact as long as
+    pad K rows are magnitude-bounded like real rows (true for every caller
+    here: pads are zeros or LN-bounded activations). Feeding huge-magnitude
+    garbage pad keys would let a masked column dominate m, underflow the
+    real columns' exps, and NaN the row. Callers introducing a new pad
+    source must keep pad keys bounded (zeros are ideal).
     """
     return _fused_mhsa_forward(qkv, seed, heads, dim_head, scale, n_true,
                                dropout_rate)

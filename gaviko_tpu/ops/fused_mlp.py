@@ -8,9 +8,14 @@ hidden exists only as a VMEM block.
 Weights are consumed in the torch (out, in) storage layout directly: the
 MXU contracts transposed operands natively, so no transposed copy ever
 materializes (with updating params that copy would re-run every step).
-Forward-only fusion: training with inner dropout uses the unfused path; the
-backward is a rematerialized XLA VJP (custom_vjp), matching the other fused
-ops' contract.
+
+Training (with in-kernel hash dropout) runs fused too: the backward is a
+row-blocked Pallas kernel (``_mlp_bwd_kernel``) that recomputes the forward
+up to the hidden inside VMEM and replays the dropout masks from (seed,
+absolute coordinates) — engaged whenever ``_mlp_bwd_supported`` passes
+(weights + f32 weight-grad accumulators fit VMEM, i.e. vit-b16 and
+smaller). Larger geometries fall back to a rematerialized XLA VJP over
+``mlp_reference`` with identical semantics.
 """
 
 from __future__ import annotations

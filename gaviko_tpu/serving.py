@@ -97,6 +97,9 @@ class Predictor:
     def predict_logits(self, volumes: Sequence[np.ndarray]) -> np.ndarray:
         """volumes: list of (D, H, W) or (C, D, H, W) arrays -> [n, classes]."""
         jnp = self._jnp
+        # Snapshot once so a concurrent reload_checkpoint cannot mix old and
+        # new weights across micro-batch chunks of one request batch.
+        params = self.params
         outs = []
         vols = [
             self._transform(
@@ -109,7 +112,7 @@ class Predictor:
             if n < self.batch_size:
                 chunk = chunk + [np.zeros_like(chunk[0])] * (self.batch_size - n)
             batch = jnp.asarray(np.stack(chunk)).astype(self._cdtype)
-            logits = np.asarray(self._compiled(self.params, batch))
+            logits = np.asarray(self._compiled(params, batch))
             outs.append(logits[:n])
         return np.concatenate(outs, axis=0) if outs else np.zeros((0, self.spec.num_classes))
 
@@ -128,8 +131,34 @@ class BatchQueue:
         self._max_wait = max_wait_ms / 1000.0
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # Observability counters (read by the /metrics endpoint).
+        self._lock = threading.Lock()
+        self.requests_total = 0
+        self.batches_total = 0
+        self.occupancy_sum = 0
+        self._latencies: "list[float]" = []  # seconds, most recent 1000
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+
+    def metrics(self) -> dict:
+        """Snapshot: request count, mean batch occupancy, latency percentiles."""
+        with self._lock:
+            lat = sorted(self._latencies)
+            n_b = self.batches_total
+            out = {
+                "requests_total": self.requests_total,
+                "batches_total": n_b,
+                "mean_batch_occupancy": (
+                    self.occupancy_sum / n_b if n_b else 0.0
+                ),
+                "batch_size": self._predictor.batch_size,
+            }
+            for p in (50, 90, 99):
+                out[f"latency_p{p}_ms"] = (
+                    lat[min(len(lat) - 1, int(len(lat) * p / 100))] * 1000.0
+                    if lat else 0.0
+                )
+        return out
 
     def submit(self, volume: np.ndarray, timeout: float = 60.0) -> np.ndarray:
         """Blocking: returns the logits row for one (D,H,W)/(C,D,H,W) volume."""
@@ -164,6 +193,7 @@ class BatchQueue:
                 except queue.Empty:
                     break
             vols = [item[0] for item in batch]
+            t0 = time.monotonic()
             try:
                 logits = self._predictor.predict_logits(vols)
                 for (_, done, slot), row in zip(batch, logits):
@@ -173,12 +203,44 @@ class BatchQueue:
                 for _, done, slot in batch:
                     slot["error"] = e
                     done.set()
+            dt = time.monotonic() - t0
+            with self._lock:
+                self.requests_total += len(batch)
+                self.batches_total += 1
+                self.occupancy_sum += len(batch)
+                self._latencies.append(dt)
+                if len(self._latencies) > 1000:
+                    del self._latencies[: len(self._latencies) - 1000]
 
 
-def serve(predictor: Predictor, host: str = "127.0.0.1", port: int = 8477):
+def serve(
+    predictor: Predictor,
+    host: str = "127.0.0.1",
+    port: int = 8477,
+    auth_token: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    max_body_bytes: int = 128 * 1024 * 1024,
+):
+    """Build (not start) the HTTP server.
+
+    Hardening knobs:
+    - ``auth_token``: when set, every POST must carry
+      ``Authorization: Bearer <token>`` (401 otherwise). Required for
+      non-localhost binds unless explicitly opted out.
+    - ``checkpoint_dir``: when set, /reload may only load checkpoints under
+      this directory (realpath-checked) — a client cannot point the server
+      at arbitrary filesystem paths.
+    - ``max_body_bytes``: POST bodies above this are rejected with 413
+      before reading (an npz volume is ~37 MB fp32; default cap 128 MB).
+
+    ``server_close()`` also stops the batching dispatcher thread.
+    """
+    import os
+
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     batcher = BatchQueue(predictor)
+    ckpt_root = os.path.realpath(checkpoint_dir) if checkpoint_dir else None
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -192,15 +254,32 @@ def serve(predictor: Predictor, host: str = "127.0.0.1", port: int = 8477):
             self.end_headers()
             self.wfile.write(body)
 
+        def _authorized(self) -> bool:
+            if auth_token is None:
+                return True
+            header = self.headers.get("Authorization", "")
+            return header == f"Bearer {auth_token}"
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                self._reply(200, batcher.metrics())
             else:
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
             try:
+                if not self._authorized():
+                    self._reply(401, {"error": "unauthorized"})
+                    return
                 length = int(self.headers.get("Content-Length", 0))
+                if length > max_body_bytes:
+                    self._reply(413, {
+                        "error": f"body {length} bytes exceeds cap "
+                                 f"{max_body_bytes}",
+                    })
+                    return
                 raw = self.rfile.read(length)
                 if self.path == "/predict":
                     with np.load(io.BytesIO(raw)) as z:
@@ -213,13 +292,33 @@ def serve(predictor: Predictor, host: str = "127.0.0.1", port: int = 8477):
                     })
                 elif self.path == "/reload":
                     payload = json.loads(raw.decode() or "{}")
-                    predictor.reload_checkpoint(payload.get("checkpoint"))
+                    ckpt = payload.get("checkpoint")
+                    if ckpt is not None and ckpt_root is not None:
+                        real = os.path.realpath(ckpt)
+                        if not (real == ckpt_root
+                                or real.startswith(ckpt_root + os.sep)):
+                            self._reply(403, {
+                                "error": "checkpoint outside allowed dir",
+                            })
+                            return
+                    predictor.reload_checkpoint(ckpt)
                     self._reply(200, {"status": "reloaded"})
                 else:
                     self._reply(404, {"error": "unknown path"})
             except Exception as e:  # noqa: BLE001 - report to client
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        def server_close(self):  # stop the dispatcher with the server
+            batcher.close()
+            super().server_close()
+
+    if host not in ("127.0.0.1", "localhost", "::1") and auth_token is None:
+        logging.warning(
+            "serve: binding %s without auth_token — /predict and /reload are "
+            "open to the network", host,
+        )
+    server = Server((host, port), Handler)
+    server.batcher = batcher  # exposed for tests/metrics
     logging.info(f"Serving on http://{host}:{port} (POST /predict, GET /healthz)")
     return server

@@ -24,6 +24,9 @@ from gaviko_tpu.models.pretrained import build_params
 from gaviko_tpu.train.loop import make_steps, split_params
 from gaviko_tpu.train.losses import cross_entropy_loss
 from gaviko_tpu.utils.logging import setup_logging
+from gaviko_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()  # persistent XLA cache: repeat runs skip the relay compile
 
 from eval import versioned_path
 

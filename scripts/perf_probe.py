@@ -18,6 +18,10 @@ import numpy as np
 
 sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from gaviko_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 B, N_PAD, DIM, HEADS, DH, MLP = 32, 1008, 768, 12, 64, 3072
 ITERS = 20
 
@@ -198,6 +202,160 @@ def probe_composed():
     print(f"composed attn block: {ms:.2f} ms/call -> x12 = {12 * ms:.1f} ms")
 
 
+def _train_setup():
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.models.factory import build_model
+
+    cfg = dict(
+        image_size=160, image_patch_size=16, frames=120, frame_patch_size=12,
+        num_classes=5, channels=1, pool="cls", backbone="vit-b16",
+        method="fft", dropout=0.1, emb_dropout=0.1, gelu="tanh",
+    )
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), model.spec)
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(rng.rand(8, 1, 120, 160, 160).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 5, size=8).astype(np.int32))
+    return model, params, vol, labels
+
+
+def probe_train():
+    """Decompose the B8 train step: fwd / fwd+bwd / +optimizer, dropout on/off."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gaviko_tpu.train.losses import focal_loss
+
+    model, params, vol, labels = _train_setup()
+    key = jax.random.PRNGKey(1)
+
+    def make_loss(dropout_on):
+        def loss_fn(p, step_rng):
+            pc = jax.tree.map(
+                lambda t: t.astype(jnp.bfloat16)
+                if t.dtype == jnp.float32 else t, p)
+            logits = model.apply(pc, vol.astype(jnp.bfloat16), model.spec,
+                                 train=dropout_on, rng=step_rng)
+            return focal_loss(logits.astype(jnp.float32), labels, gamma=1.2)
+        return loss_fn
+
+    for name, dropout_on in (("drop", True), ("nodrop", False)):
+        loss_fn = make_loss(dropout_on)
+
+        def fwd_chain(p):
+            def body(i, acc):
+                return acc + loss_fn(p, jax.random.fold_in(key, i))
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+        ms = timeit(jax.jit(fwd_chain), params)
+        print(f"fwd only [{name}]: {ms:.2f} ms ({8 / ms * 1000:.1f} vol/s)")
+
+        def grad_chain(p):
+            def body(i, carry):
+                g = jax.grad(loss_fn)(p, jax.random.fold_in(key, i))
+                return carry + jax.tree.leaves(g)[0].reshape(-1)[0]
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+        ms = timeit(jax.jit(grad_chain), params)
+        print(f"fwd+bwd [{name}]: {ms:.2f} ms ({8 / ms * 1000:.1f} vol/s)")
+
+    # Full step (= bench) and optimizer-only delta.
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-4))
+    opt_state = tx.init(params)
+    loss_fn = make_loss(True)
+
+    def step_chain(p, o):
+        def body(i, carry):
+            p, o = carry
+            grads = jax.grad(loss_fn)(p, jax.random.fold_in(key, i))
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o
+        p, _ = jax.lax.fori_loop(0, ITERS, body, (p, o))
+        return jax.tree.leaves(p)[0].reshape(-1)[0]
+
+    ms = timeit(jax.jit(step_chain), params, opt_state)
+    print(f"full step [drop]: {ms:.2f} ms ({8 / ms * 1000:.1f} vol/s)")
+
+
+def probe_train_layers():
+    """Per-component fwd+bwd at the B8 train geometry (N=1008, bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.ops.flash_attention import fused_mhsa
+    from gaviko_tpu.ops.fused_mlp import fused_mlp
+
+    Bt = 8
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(Bt, N_PAD, DIM)).astype(jnp.bfloat16)
+    seed = jnp.ones((1,), jnp.int32)
+    wqkv = jnp.asarray(rng.randn(3 * DIM, DIM) * 0.02).astype(jnp.bfloat16)
+    gamma = jnp.ones((DIM,), jnp.bfloat16)
+    beta = jnp.zeros((DIM,), jnp.bfloat16)
+    w1 = jnp.asarray(rng.randn(MLP, DIM) * 0.02).astype(jnp.bfloat16)
+    b1 = jnp.zeros((MLP,), jnp.bfloat16)
+    w2 = jnp.asarray(rng.randn(DIM, MLP) * 0.02).astype(jnp.bfloat16)
+    b2 = jnp.zeros((DIM,), jnp.bfloat16)
+
+    for drop in (0.0, 0.1):
+        def attn_f(x):
+            qkv = x @ wqkv.T
+            o = fused_mhsa(qkv, seed, HEADS, DH, DH ** -0.5, 1001, drop)
+            return jnp.sum(o.astype(jnp.float32) * x.astype(jnp.float32))
+
+        def attn_chain(x):
+            def body(i, acc):
+                return acc + jax.grad(lambda t: attn_f(t + acc.astype(
+                    jnp.bfloat16) * jnp.bfloat16(1e-30)))(x)[0, 0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+        ms = timeit(jax.jit(attn_chain), x)
+        print(f"qkv+attn fwd+bwd [drop={drop}]: {ms:.2f} ms/layer "
+              f"-> x12 = {12 * ms:.1f} ms")
+
+        def mlp_f(x):
+            o = fused_mlp(x, gamma, beta, w1, b1, w2, b2, seed, 1e-5, True,
+                          drop, True)
+            return jnp.sum(o.astype(jnp.float32) * x.astype(jnp.float32))
+
+        def mlp_chain(x):
+            def body(i, acc):
+                return acc + jax.grad(lambda t: mlp_f(t + acc.astype(
+                    jnp.bfloat16) * jnp.bfloat16(1e-30)))(x)[0, 0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+        ms = timeit(jax.jit(mlp_chain), x)
+        print(f"mlp fwd+bwd [drop={drop}]: {ms:.2f} ms/layer "
+              f"-> x12 = {12 * ms:.1f} ms")
+
+
+def probe_optimizer():
+    """Adam + global-norm clip over the vit-b16 fp32 param tree (no model)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    model, params, _, _ = _train_setup()
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-4))
+    opt_state = tx.init(params)
+    grads = jax.tree.map(lambda t: jnp.full_like(t, 1e-4), params)
+
+    def chain(p, o, g):
+        def body(i, carry):
+            p, o = carry
+            gi = jax.tree.map(lambda t, q: t + q.reshape(-1)[0] * 1e-30, g, p)
+            updates, o = tx.update(gi, o, p)
+            return optax.apply_updates(p, updates), o
+        p, _ = jax.lax.fori_loop(0, ITERS, body, (p, o))
+        return jax.tree.leaves(p)[0].reshape(-1)[0]
+
+    ms = timeit(jax.jit(chain), params, opt_state, grads)
+    print(f"clip+adam only: {ms:.2f} ms/step")
+
+
 PROBES = {
     "full": probe_full,
     "attn": probe_attn,
@@ -205,6 +363,9 @@ PROBES = {
     "qkv": probe_qkv,
     "patchify": probe_patchify,
     "composed": probe_composed,
+    "train": probe_train,
+    "train_layers": probe_train_layers,
+    "optimizer": probe_optimizer,
 }
 
 if __name__ == "__main__":

@@ -13,6 +13,9 @@ import logging
 from gaviko_tpu.config import METHODS, apply_method_override, load_config
 from gaviko_tpu.serving import Predictor, serve
 from gaviko_tpu.utils.logging import setup_logging
+from gaviko_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()  # persistent XLA cache: repeat runs skip the relay compile
 
 
 def main():
@@ -25,6 +28,12 @@ def main():
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--auth_token", type=str, default=None,
+                        help="require 'Authorization: Bearer <token>' on POSTs")
+    parser.add_argument("--checkpoint_dir", type=str, default=None,
+                        help="restrict /reload to checkpoints under this dir")
+    parser.add_argument("--max_body_mb", type=int, default=128,
+                        help="reject POST bodies above this size")
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -35,7 +44,11 @@ def main():
         dtype=args.dtype,
         pretrained_dir=config["model"].get("pretrained_dir", "./pretrained"),
     )
-    serve(predictor, host=args.host, port=args.port).serve_forever()
+    serve(
+        predictor, host=args.host, port=args.port,
+        auth_token=args.auth_token, checkpoint_dir=args.checkpoint_dir,
+        max_body_bytes=args.max_body_mb * 1024 * 1024,
+    ).serve_forever()
 
 
 if __name__ == "__main__":

@@ -165,3 +165,37 @@ def test_gaviko_local_train_flash_equals_xla():
     b = gaviko_mod.apply(params, x, model.spec, train=True, rng=rng,
                          local_impl="xla")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_keep_mask_pairwise_independence():
+    """mix_lite quality gate (advisor finding): the 2-op mix must not
+    correlate drops across adjacent rows, columns, or salts, or the
+    effective regularization silently degrades. For independent masks the
+    joint keep probability is (1-q)^2; we bound the empirical pairwise
+    deviation over large planes."""
+    q = RATE
+    m = np.asarray(keep_mask((1024, 1024), _seed()[0], q))
+    pk = 1.0 - q
+    # ~3.4M pairs per comparison: sampling noise on the joint rate is
+    # ~sqrt(p(1-p)/n) ~ 2.3e-4; allow 20x for safety — a real linear
+    # correlation artifact would show up at the 1e-2 level.
+    tol = 5e-3
+
+    def joint(a, b):
+        return float(np.mean(a & b))
+
+    # Adjacent rows / adjacent columns (the linearly-structured coordinates).
+    assert abs(joint(m[:-1], m[1:]) - pk * pk) < tol
+    assert abs(joint(m[:, :-1], m[:, 1:]) - pk * pk) < tol
+    # Row stride 8 / column stride 128 (TPU tile strides).
+    assert abs(joint(m[:-8], m[8:]) - pk * pk) < tol
+    assert abs(joint(m[:, :-128], m[:, 128:]) - pk * pk) < tol
+    # Same coordinates, adjacent salts (batch*head planes of one call).
+    m_s1 = np.asarray(keep_mask((1024, 1024), _seed()[0], q, salt=1))
+    assert abs(joint(m, m_s1) - pk * pk) < tol
+    # Same coordinates, adjacent seeds (successive steps).
+    m2 = np.asarray(keep_mask((1024, 1024), _seed(1)[0], q))
+    assert abs(joint(m, m2) - pk * pk) < tol
+    # Diagonal neighbours (row+1, col+1) — the sum row*R+col*C changes by
+    # R+C there, a constant: the mix must still decorrelate it.
+    assert abs(joint(m[:-1, :-1], m[1:, 1:]) - pk * pk) < tol

@@ -54,3 +54,18 @@ def test_native_faster_than_numpy_on_full_volume():
     # Don't enforce a ratio (CI noise); just log + sanity bound.
     print(f"numpy {t_np*200:.1f} ms/vol vs native {t_nat*200:.1f} ms/vol")
     assert t_nat < t_np * 3
+
+
+def test_widen_f32_matches_numpy_all_dtypes():
+    from gaviko_tpu.data.native_loader import widen_f32
+
+    rng = np.random.RandomState(1)
+    for dtype in (np.int16, np.uint16, np.float32, np.float64, np.uint8):
+        x = (rng.rand(64, 33) * 1000).astype(dtype)
+        out = widen_f32(x)
+        assert out.dtype == np.float32
+        np.testing.assert_array_equal(out, x.astype(np.float32))
+        # Fresh buffer: mutating the output must not touch the input.
+        if x.dtype == np.float32:
+            out[0, 0] += 1
+            assert out[0, 0] != x[0, 0]

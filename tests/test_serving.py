@@ -143,3 +143,125 @@ def test_reload_checkpoint_swaps_weights(predictor, tmp_path):
     after = predictor.predict_logits(vols)
     np.testing.assert_allclose(after - before, np.tile(shift, (1, 1)),
                                atol=1e-3)
+
+
+def test_auth_token_and_body_cap(predictor):
+    server = serve(predictor, port=0, auth_token="s3cret", max_body_bytes=1024)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        vol = np.random.RandomState(1).rand(24, 32, 32).astype(np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, data=vol)
+        body = buf.getvalue()
+
+        # No token -> 401.
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 401
+
+        # Correct token but oversized body -> 413.
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body, method="POST",
+            headers={"Authorization": "Bearer s3cret"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 413
+
+        # Reload outside the (unset -> everything allowed) is separate; here
+        # token-gated /reload with bad token -> 401.
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reload", data=b"{}", method="POST",
+            headers={"Authorization": "Bearer wrong"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 401
+
+        # GETs stay open (health/metrics are unauthenticated reads).
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.load(r)["status"] == "ok"
+    finally:
+        server.shutdown()
+        server.server_close()
+    # server_close also stops the batching dispatcher.
+    assert not server.batcher._thread.is_alive()
+
+
+def test_reload_restricted_to_checkpoint_dir(predictor, tmp_path):
+    allowed = tmp_path / "ckpts"
+    allowed.mkdir()
+    server = serve(predictor, port=0, checkpoint_dir=str(allowed))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reload",
+            data=json.dumps({"checkpoint": "/etc/passwd"}).encode(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 403
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_metrics_endpoint(predictor):
+    server = serve(predictor, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        vol = np.random.RandomState(1).rand(24, 32, 32).astype(np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, data=vol)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST",
+        )
+        urllib.request.urlopen(req).read()
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            m = json.load(r)
+        assert m["requests_total"] >= 1
+        assert m["batches_total"] >= 1
+        assert m["latency_p50_ms"] > 0
+        assert 0 < m["mean_batch_occupancy"] <= predictor.batch_size
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_predict_snapshots_params_across_chunks(predictor):
+    """A reload mid-request must not mix weights across micro-batch chunks."""
+    rng = np.random.RandomState(3)
+    vols = [rng.rand(24, 32, 32).astype(np.float32) for _ in range(4)]  # 2 chunks
+    want = predictor.predict_logits(vols)
+
+    old_params = predictor.params
+    real_compiled = predictor._compiled
+    calls = {"n": 0}
+
+    def hijack(params, batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # Simulate a concurrent reload landing between chunks.
+            predictor.params = "poisoned"
+        assert params is old_params, "chunk used post-reload params"
+        return real_compiled(params, batch)
+
+    predictor._compiled = hijack
+    try:
+        got = predictor.predict_logits(vols)
+    finally:
+        predictor._compiled = real_compiled
+        predictor.params = old_params
+    assert calls["n"] == 2
+    np.testing.assert_allclose(got, want, atol=1e-6)

@@ -130,3 +130,30 @@ def test_loader_propagates_producer_errors(tmp_path):
     loader = Loader(ds, batch_size=2, shuffle=False, num_workers=2)
     with pytest.raises(FileNotFoundError):
         list(loader)
+
+
+def test_loader_producer_exits_on_abandoned_epoch(tmp_path):
+    """Breaking out of an epoch must not strand the producer thread in
+    q.put (regression: blocking put + full prefetch queue = leaked thread
+    and a held batch of volumes per abandoned epoch)."""
+    ds = _mk_ds(tmp_path, n=12)
+    loader = Loader(ds, batch_size=2, shuffle=False, num_workers=2, prefetch=1)
+    it = iter(loader)
+    next(it)  # producer now prefetching ahead; queue fills
+    it.close()  # abandon mid-epoch (generator finalizer sets stop)
+    t = loader._last_producer
+    t.join(timeout=5)
+    assert not t.is_alive(), "producer thread leaked after abandoned epoch"
+
+
+def test_loader_widens_int16_npz(tmp_path):
+    """int16/uint16 raw volumes load as float32 with exact values."""
+    rng = np.random.RandomState(0)
+    raw = (rng.randint(-500, 3000, size=(6, 8, 8))).astype(np.int16)
+    p = str(tmp_path / "i16.npz")
+    np.savez(p, data=raw)
+    ds = VolumeDataset(paths=[p], labels=np.asarray([0]),
+                       transform=lambda v: v, train=False)
+    vol = ds.load(0)
+    assert vol.dtype == np.float32 and vol.shape == (1, 6, 8, 8)
+    np.testing.assert_array_equal(vol[0], raw.astype(np.float32))
