@@ -3,8 +3,10 @@
 Workloads (BASELINE.md "workload shape", (1, 120, 160, 160) volumes):
 - headline: vit-b16 inference, bf16, batch 32 — 1000 patches + cls, 12 layers.
 - train: vit-b16 full-fine-tune (``fft``) train step at batch 8 — forward with
-  dropout + backward + global-norm clip + Adam, bf16 compute / fp32 master
-  (the reference's primary mode, ref: src/train.py:257-361).
+  dropout + backward + global-norm clip + Adam, pure bf16 (params, grads and
+  Adam moments, eps 1e-4) — the TPU analog of the reference's primary
+  model.half() fp16 mode (ref: src/train.py:157-189, 257-361,
+  configs/vit.yaml fp16: true).
 - flagship: GAViKO vit-l16 inference at batch 8 (gaviko.yaml's backbone) —
   dual-stream attention, GPA fusion, masked local attention.
 
@@ -91,9 +93,9 @@ def bench_infer_b16():
 def bench_train_b16():
     import jax
     import jax.numpy as jnp
-    import optax
 
     from gaviko_tpu.models.factory import build_model
+    from gaviko_tpu.train import fused_optim
     from gaviko_tpu.train.losses import focal_loss
 
     cfg = dict(
@@ -102,29 +104,29 @@ def bench_train_b16():
         method="fft", dropout=0.1, emb_dropout=0.1, gelu="tanh",
     )
     model = build_model(cfg)
-    params = model.init(jax.random.PRNGKey(0), model.spec)  # fp32 master
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-4))
-    opt_state = tx.init(params)
+    # The reference's primary train mode is model.half(): fp16 params, fp16
+    # grads AND fp16 Adam moments with eps=1e-4 (src/train.py:157-159,
+    # 185-189; vit.yaml fp16: true). This is its TPU analog: pure bf16
+    # end-to-end with the fused clip(1.0)+Adam step (train/fused_optim.py,
+    # optax-equivalent math validated in tests/test_train_components.py).
+    params = _bf16_params(jax, jnp, model.init(jax.random.PRNGKey(0), model.spec))
+    opt_state = fused_optim.init(params)
     rng = np.random.RandomState(0)
-    vol = jnp.asarray(rng.rand(TRAIN_BATCH, 1, 120, 160, 160).astype(np.float32))
+    vol = jnp.asarray(rng.rand(TRAIN_BATCH, 1, 120, 160, 160)).astype(jnp.bfloat16)
     labels = jnp.asarray(rng.randint(0, 5, size=TRAIN_BATCH).astype(np.int32))
     key = jax.random.PRNGKey(1)
 
     def loss_fn(p, step_rng):
-        pc = _bf16_params(jax, jnp, p)
-        logits = model.apply(
-            pc, vol.astype(jnp.bfloat16), model.spec, train=True, rng=step_rng
-        )
+        logits = model.apply(p, vol, model.spec, train=True, rng=step_rng)
         return focal_loss(logits.astype(jnp.float32), labels, gamma=1.2)
 
     def chain(params, opt_state):
         def body(i, carry):
             p, o = carry
             grads = jax.grad(loss_fn)(p, jax.random.fold_in(key, i))
-            updates, o = tx.update(grads, o, p)
-            return optax.apply_updates(p, updates), o
+            return fused_optim.step(grads, o, p, 3e-4, clip=1.0, eps=1e-4)
         p, _ = jax.lax.fori_loop(0, ITERS, body, (params, opt_state))
-        return jax.tree.leaves(p)[0].reshape(-1)[0]
+        return jax.tree.leaves(p)[0].astype(jnp.float32).reshape(-1)[0]
 
     dt = _timeit(jax.jit(chain), params, opt_state)
     return TRAIN_BATCH / dt

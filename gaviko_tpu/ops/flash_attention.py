@@ -211,8 +211,9 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 # those copies cost ~20% of a vit-b16 forward). Two heads per program keep
 # the lane dim at 128 (Mosaic requires last block dim % 128).
 
-def _fused_mhsa_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
-                       scale, n_true, hp, dim_head, heads, dropout_rate):
+def _fused_mhsa_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, ml_ref=None, *,
+                       scale, n_true, hp, dim_head, heads, dropout_rate,
+                       emit_ml=False):
     b, h, qb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     block_q = q_ref.shape[0]
     n_pad = k_ref.shape[0]
@@ -246,6 +247,9 @@ def _fused_mhsa_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
             )
             o = o * (1.0 / (1.0 - dropout_rate))
             o_ref[:, sl] = (o / l).astype(o_ref.dtype)
+            if emit_ml:
+                ml_ref[:, 2 * j:2 * j + 1] = m
+                ml_ref[:, 2 * j + 1:2 * j + 2] = l
         elif dim_head < 128:
             # Ones-column ride-along: pad V to a full 128-lane tile with ones
             # so one MXU dot returns [o | row-sum] — the row sum rides the
@@ -260,6 +264,9 @@ def _fused_mhsa_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
             )
             o = ol[:, :dim_head] / ol[:, dim_head:dim_head + 1]
             o_ref[:, sl] = o.astype(o_ref.dtype)
+            if emit_ml:
+                ml_ref[:, 2 * j:2 * j + 1] = m
+                ml_ref[:, 2 * j + 1:2 * j + 2] = ol[:, dim_head:dim_head + 1]
         else:
             l = jnp.sum(p, axis=1, keepdims=True)
             o = jax.lax.dot_general(
@@ -267,6 +274,9 @@ def _fused_mhsa_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
                 preferred_element_type=jnp.float32,
             )
             o_ref[:, sl] = (o / l).astype(o_ref.dtype)
+            if emit_ml:
+                ml_ref[:, 2 * j:2 * j + 1] = m
+                ml_ref[:, 2 * j + 1:2 * j + 2] = l
 
 
 def fused_mhsa_supported(heads: int, dim_head: int, N: int) -> bool:
@@ -312,7 +322,8 @@ def fused_mhsa(qkv, seed, heads: int, dim_head: int, scale: float,
                                dropout_rate)
 
 
-def _fused_mhsa_forward(qkv, seed, heads, dim_head, scale, n_true, dropout_rate):
+def _fused_mhsa_forward(qkv, seed, heads, dim_head, scale, n_true,
+                        dropout_rate, emit_ml=False):
     B, n_pad, three_inner = qkv.shape
     inner = three_inner // 3
     hp = 2
@@ -320,63 +331,88 @@ def _fused_mhsa_forward(qkv, seed, heads, dim_head, scale, n_true, dropout_rate)
     block_q = _pick_block_q(n_pad, hp)
     grid = (B, nh, n_pad // block_q)
     hd = hp * dim_head
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, block_q, hd), lambda b, h, i: (b, i, h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, n_pad, hd), lambda b, h, i: (b, 0, nh + h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, n_pad, hd), lambda b, h, i: (b, 0, 2 * nh + h),
+                     memory_space=pltpu.VMEM),
+    ]
+    o_spec = pl.BlockSpec((None, block_q, hd), lambda b, h, i: (b, i, h),
+                          memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct((B, n_pad, inner), qkv.dtype)
+    if emit_ml:
+        # Per-row softmax stats (m, l) saved for the backward: f32, laid out
+        # (B, nh, n_pad, 2*hp) — lane dim 2*hp == array dim satisfies Mosaic
+        # without 128-padding; ~1.5 MB at vit-b16 B8, and the backward then
+        # skips its max- and sum-reductions over the N^2 score block.
+        out_specs = (o_spec, pl.BlockSpec(
+            (None, None, block_q, 2 * hp), lambda b, h, i: (b, h, i, 0),
+            memory_space=pltpu.VMEM))
+        out_shape = (o_shape, jax.ShapeDtypeStruct(
+            (B, nh, n_pad, 2 * hp), jnp.float32))
+    else:
+        out_specs, out_shape = o_spec, o_shape
     out = pl.pallas_call(
         functools.partial(
             _fused_mhsa_kernel, scale=scale, n_true=n_true, hp=hp,
             dim_head=dim_head, heads=heads, dropout_rate=dropout_rate,
+            emit_ml=emit_ml,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, block_q, hd), lambda b, h, i: (b, i, h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, n_pad, hd), lambda b, h, i: (b, 0, nh + h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, n_pad, hd), lambda b, h, i: (b, 0, 2 * nh + h),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, block_q, hd), lambda b, h, i: (b, i, h),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, inner), qkv.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_use_interpret(),
     )(seed, qkv, qkv, qkv)
     return out
 
 
 def _fused_mhsa_fwd(qkv, seed, heads, dim_head, scale, n_true, dropout_rate):
-    out = _fused_mhsa_forward(qkv, seed, heads, dim_head, scale, n_true,
-                              dropout_rate)
-    return out, (qkv, seed)
+    out, ml = _fused_mhsa_forward(qkv, seed, heads, dim_head, scale, n_true,
+                                  dropout_rate, emit_ml=True)
+    return out, (qkv, seed, out, ml)
 
 
-def _fused_mhsa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
-                           dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+def _fused_mhsa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
+                           ml_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
                            *, scale, n_true, hp, dim_head, heads,
                            dropout_rate):
     """Q-blocked attention backward; one (batch, head-pair, q-block) program.
 
-    Flash-backward algebra with P recomputed in VMEM and the dropout mask
-    replayed from (seed, coordinates) — identical bits to the forward:
-      P   = softmax(q k^T * scale)       (masked cols >= n_true)
+    Flash-backward algebra with P recomputed in VMEM from the SAVED forward
+    softmax stats (m, l) — no max/sum reductions over the N^2 block — and
+    the dropout mask replayed from (seed, coordinates), identical bits to
+    the forward:
+      P   = exp(s - m + bias) / l        (bias masks cols >= n_true; m, l
+                                          are the forward's row stats)
       P~  = keep/(1-q) * P               (identity when dropout_rate == 0)
       dV  = P~^T dO
       dP~ = dO V^T ;  dP = keep/(1-q) * dP~
-      dS  = P * (dP - rowsum(dP * P))    (rowsum(dP*P) == rowsum(dO*O) when
-                                          dropout is off, so one formula
-                                          serves both and the O-recompute
-                                          matmul is gone)
+      dS  = P * (dP - delta),  delta = rowsum(dO * O)
+            (rowsum(dP*P) == rowsum(P~ . dP~) == rowsum(dO*O) EVEN under
+             dropout — keep^2 == keep and the 1/(1-q) factors cancel — so
+             delta comes from the saved (block_q, d) forward output instead
+             of an N^2 multiply+reduce)
       dQ = scale * dS K ; dK = scale * dS^T Q
     Queries are blocked so the live f32 buffers are (block_q, n_pad) — the
     whole-K variant at ~1k tokens needs ~3 full N^2 f32 buffers (>12 MB) and
-    cannot fit VMEM. Softmax rows stay exact (every q block sees all keys);
-    dK/dV accumulate in f32 scratch across the sequential q-block dim and
-    are written on the last block. Heads are processed sequentially so only
-    a couple of score-sized buffers are live at a time.
+    cannot fit VMEM. dK/dV accumulate in f32 scratch across the sequential
+    q-block dim and are written on the last block. Heads are processed
+    sequentially so only a couple of score-sized buffers are live at a time.
     """
     b, h, qb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nq = pl.num_programs(2)
     block_q = q_ref.shape[0]
+    n_pad = k_ref.shape[0]
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+    if n_pad != n_true:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+        bias = jnp.where(col < n_true, 0.0, -1e30)
+    else:
+        bias = None
     for j in range(hp):
         sl = slice(j * dim_head, (j + 1) * dim_head)
         q = q_ref[:, sl]
@@ -386,14 +422,12 @@ def _fused_mhsa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        if k_ref.shape[0] != n_true:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < n_true, s, NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        m = jnp.where(m == NEG_INF, 0.0, m)  # fully-masked pad rows
-        e = jnp.exp(s - m)
-        l = jnp.sum(e, axis=1, keepdims=True)
-        p = e / jnp.maximum(l, 1e-30)  # [block_q, n_pad] f32
+        m = ml_ref[:, 2 * j:2 * j + 1]
+        l = ml_ref[:, 2 * j + 1:2 * j + 2]
+        e = jnp.exp(s - m + bias) if bias is not None else jnp.exp(s - m)
+        p = e * (1.0 / jnp.maximum(l, 1e-30))  # [block_q, n_pad] f32
+        delta = jnp.sum(do * o_ref[:, sl].astype(jnp.float32), axis=1,
+                        keepdims=True)
 
         if dropout_rate > 0.0:
             keep = keep_mask(p.shape, seed_ref[0], dropout_rate,
@@ -414,7 +448,6 @@ def _fused_mhsa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
             dp = jnp.where(keep, dpt * inv_keep, 0.0)
         else:
             dp = dpt
-        delta = jnp.sum(dp * p, axis=1, keepdims=True)
         ds = (p * (dp - delta)).astype(q.dtype)  # [block_q, n_pad]
         dq = jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -441,7 +474,7 @@ def _fused_mhsa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
 
 
 def _fused_mhsa_bwd(heads, dim_head, scale, n_true, dropout_rate, res, g):
-    qkv, seed = res
+    qkv, seed, o_fwd, ml = res
     B, n_pad, three_inner = qkv.shape
     inner = three_inner // 3
     hp = 2
@@ -471,6 +504,11 @@ def _fused_mhsa_bwd(heads, dim_head, scale, n_true, dropout_rate, res, g):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((None, block_q, hd), lambda b, h, i: (b, i, h),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, block_q, hd), lambda b, h, i: (b, i, h),
+                     memory_space=pltpu.VMEM),  # forward output block
+        pl.BlockSpec((None, None, block_q, 2 * hp),
+                     lambda b, h, i: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),  # saved (m, l) rows
     ]
     kv_out_spec = pl.BlockSpec((None, n_pad, hd), lambda b, h, i: (b, 0, h),
                                memory_space=pltpu.VMEM)
@@ -498,7 +536,7 @@ def _fused_mhsa_bwd(heads, dim_head, scale, n_true, dropout_rate, res, g):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_use_interpret(),
-    )(seed, qkv, qkv, qkv, g)
+    )(seed, qkv, qkv, qkv, g, o_fwd, ml)
     return (jnp.concatenate([dq, dk, dv], axis=-1), _float0_like(seed))
 
 

@@ -5,16 +5,17 @@ The reference applies dropout to attention probabilities and MLP hiddens
 kernels on the training path therefore needs dropout INSIDE the kernel.
 ``pltpu.prng_*`` cannot run in interpret mode on CPU (where the parity tests
 execute), so instead of the hardware PRNG we derive bits from a stateless
-integer hash (murmur3 fmix32 finalizer) of the absolute element coordinates:
+integer hash of the absolute element coordinates:
 
-    keep(row, col) = fmix32(row * R + col * C + seed + salt * S) & 0x7FFFFF
-                     >= floor(rate * 2^23)
+    keep(row, col) = mix(row * R + seed + salt * S  +  col * C) >= T(rate)
+    mix(h) = (h ^ (h >>> 16)) * M        (signed compare reads the top bits)
 
 Identical int32 ops run inside a Pallas kernel (compiled OR interpret) and in
 plain-XLA reference paths, so a mask-replaying fused backward is exactly
 testable on CPU, and fwd/bwd masks agree by construction without carrying an
-N^2 residual. Cost on the VPU is ~8 integer ops/element — cheap next to the
-f32 softmax exp it sits beside.
+N^2 residual. The row/column terms are separable (N-sized vectors), so the
+full-size cost is 5 VPU int ops/element — cheap next to the f32 softmax exp
+it sits beside. ``fmix32`` is kept for reference/tests.
 
 Seeds are int32 scalars derived per dropout call site from the step's
 jax.random key (see ``seed_from_key``); ``salt`` decorrelates planes that
@@ -58,8 +59,11 @@ def mix_lite(h: jax.Array) -> jax.Array:
 
 
 def _threshold(rate: float) -> np.int32:
-    # P(drop) = floor(rate * 2^23) / 2^23 — exact to 1.2e-7.
-    return np.int32(int(rate * (1 << 23)))
+    # Signed-compare threshold: the mixed hash is uniform over int32, so
+    # P(mixed >= T) = (2^31 - T) / 2^32; T = (2*rate - 1) * 2^31 gives
+    # P(keep) = 1 - rate exact to 2^-32.
+    return np.int32(max(-(1 << 31), min((1 << 31) - 1,
+                                        round((2.0 * rate - 1.0) * (1 << 31)))))
 
 
 def keep_mask(
@@ -79,17 +83,26 @@ def keep_mask(
     (row_offset + i, col_offset + j) — leading dims must be decorrelated via
     ``salt`` — so blockwise kernel invocations and a whole-array XLA replay
     produce identical bits.
+
+    Cost structure: the row term (x _ROW, + seed, + salt) and the column
+    term (x _COL) are SEPARABLE — computed on N-sized vectors — so the
+    full-size work is exactly 5 VPU int ops/element: broadcast add, xor,
+    shift, multiply, compare. The signed compare reads the multiply's HIGH
+    bits (sign bit first), where multiplicative hashing mixes well; pairwise
+    keep-rate independence across adjacent rows/cols/salts/strides is
+    regression-tested (test_kernel_dropout.test_keep_mask_pairwise_
+    independence) at |joint - (1-q)^2| < 5e-3.
     """
     nd = len(shape)
-    rows = row_offset + jax.lax.broadcasted_iota(jnp.int32, shape, nd - 2)
-    cols = col_offset + jax.lax.broadcasted_iota(jnp.int32, shape, nd - 1)
-    h = rows * _ROW + cols * _COL + seed + jnp.asarray(salt, jnp.int32) * _SALT
+    rshape = tuple(shape[:-1]) + (1,)
+    cshape = (1,) * (nd - 1) + (shape[-1],)
+    rows = row_offset + jax.lax.broadcasted_iota(jnp.int32, rshape, nd - 2)
+    cols = col_offset + jax.lax.broadcasted_iota(jnp.int32, cshape, nd - 1)
+    fr = rows * _ROW + seed + jnp.asarray(salt, jnp.int32) * _SALT
+    gc = cols * _COL
+    h = fr + gc  # first (and only) full-size int op chain
     h = mix_lite(h)
-    # High bits of the multiplicative mix (bits 8..30) — low bits of h*odd
-    # are poorly mixed.
-    return (
-        jax.lax.shift_right_logical(h, 8) & np.int32(0x7FFFFF)
-    ) >= _threshold(rate)
+    return h >= _threshold(rate)
 
 
 def apply_dropout(

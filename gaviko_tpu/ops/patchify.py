@@ -41,26 +41,31 @@ def _patchify_kernel(x_ref, w_ref, b_ref, perm_ref, pos_ref, o_ref, rows_ref,
     # (stripe tails are dead — the matching w_ref rows are 0). The embedding
     # GEMM runs ONCE per batch item on the last d step: M = gd*gh*gw rows
     # keeps the MXU ~85% utilized vs ~36% at M = gh*gw (measured).
+    #
+    # v4: all gh groups stack (kpad-padded) into ONE (gh*kpad, W) operand so
+    # the lane permutation runs as a single (W, W) x (W, gh*kpad) dot —
+    # amortizing the latency that made gh separate (W, kdim) dots the
+    # bottleneck of v3 — and the stripe copies below land at 128-aligned
+    # lane offsets with their zero tails already in place.
     d = pl.program_id(1)
     kdim = pd * ph
+    z = jnp.concatenate([
+        jnp.pad(
+            x_ref[:, g * ph:(g + 1) * ph, :].reshape(kdim, gw * pw),
+            [(0, kpad - kdim), (0, 0)],
+        ) for g in range(gh)
+    ], axis=0)                                         # (gh*kpad, W)
+    zt = jax.lax.dot_general(
+        perm_ref[:], z, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(z.dtype)                                  # (W=(pw,gw), gh*kpad)
     for g in range(gh):
-        sl = x_ref[:, g * ph:(g + 1) * ph, :]          # (pd, ph, W)
-        z = sl.reshape(kdim, gw * pw)                  # leading collapse
-        # One dot does BOTH the lane permutation (gw,pw)->(pw,gw) and the
-        # transpose: contracting perm^T's dim 1 with z's lane dim yields
-        # (W, pd*ph) directly — no explicit (sublane<->lane) transpose op.
-        zt = jax.lax.dot_general(
-            perm_ref[:], z, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(sl.dtype)                             # (W=(pw,gw), pd*ph)
-        if kpad != kdim:
-            zt = jnp.pad(zt, [(0, 0), (0, kpad - kdim)])
         for q in range(pw):
             # d indexes the scratch's LEADING (untiled) dim — dynamic there
             # carries no sublane-alignment proof obligation; g/q offsets
-            # are static.
-            rows_ref[d, g * gw:(g + 1) * gw,
-                     q * kpad:(q + 1) * kpad] = zt[q * gw:(q + 1) * gw, :]
+            # are static and 128-aligned on the lane dim.
+            rows_ref[d, g * gw:(g + 1) * gw, q * kpad:(q + 1) * kpad] = \
+                zt[q * gw:(q + 1) * gw, g * kpad:(g + 1) * kpad]
 
     @pl.when(d == gd - 1)
     def _():

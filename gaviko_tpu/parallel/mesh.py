@@ -167,6 +167,7 @@ def make_parallel_train_step(
     zero: bool = True,
     compute_dtype=jnp.float32,
     device_augment: bool = False,
+    fused=None,
 ):
     """Places state on the mesh and returns (train_step, placed_state).
 
@@ -212,8 +213,11 @@ def make_parallel_train_step(
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, frozen, inputs, labels, rng
         )
-        updates, opt_state = tx.update(grads, opt_state, trainable)
-        trainable = optax.apply_updates(trainable, updates)
+        from gaviko_tpu.train.loop import apply_optimizer
+
+        trainable, opt_state = apply_optimizer(
+            tx, fused, grads, opt_state, trainable
+        )
         correct = jnp.sum(jnp.argmax(logits.astype(jnp.float32), axis=1) == labels)
         return trainable, opt_state, loss, correct
 

@@ -79,11 +79,41 @@ def make_optimizer(train_cfg: dict, total_steps: int):
     )
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
-    return tx, sched
+    # Fused clip+Adam+apply (train/fused_optim.py): same math as the chain
+    # above in one elementwise pass — ~4 ms off a vit-b16 B8 step. Engaged
+    # by default when no gradient accumulation is configured; opt out with
+    # train.fused_optimizer: false (e.g. to restore an old optax-layout
+    # resume checkpoint).
+    fused = None
+    if accum == 1 and train_cfg.get("fused_optimizer", True):
+        fused = {"sched": sched, "clip": 1.0, "eps": eps}
+    return tx, sched, fused
+
+
+def apply_optimizer(tx, fused, grads, opt_state, trainable):
+    """One optimizer application: the fused clip+Adam pass when ``fused`` is
+    set (a {sched, clip, eps} spec), the optax chain otherwise."""
+    if fused is not None:
+        from gaviko_tpu.train import fused_optim
+
+        return fused_optim.step(
+            grads, opt_state, trainable, fused["sched"],
+            clip=fused["clip"], eps=fused["eps"],
+        )
+    updates, opt_state = tx.update(grads, opt_state, trainable)
+    return optax.apply_updates(trainable, updates), opt_state
+
+
+def init_opt_state(tx, fused, trainable):
+    if fused is not None:
+        from gaviko_tpu.train import fused_optim
+
+        return fused_optim.init(trainable)
+    return tx.init(trainable)
 
 
 def make_steps(model: Model, criterion, tx, compute_dtype=jnp.float32,
-               device_augment: bool = False):
+               device_augment: bool = False, fused=None):
     """Build jitted train_step / eval_step closures.
 
     ``device_augment``: inputs arrive as RAW volumes; the affine/flip/rescale
@@ -131,8 +161,9 @@ def make_steps(model: Model, criterion, tx, compute_dtype=jnp.float32,
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, frozen, inputs, labels, rng
         )
-        updates, opt_state = tx.update(grads, opt_state, trainable)
-        trainable = optax.apply_updates(trainable, updates)
+        trainable, opt_state = apply_optimizer(
+            tx, fused, grads, opt_state, trainable
+        )
         correct = jnp.sum(jnp.argmax(logits.astype(jnp.float32), axis=1) == labels)
         return trainable, opt_state, loss, correct
 
@@ -155,16 +186,29 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
         fields=TRAIN_LOG_FIELDS,
     )
     criterion = make_criterion(train_cfg)
-    tx, sched = make_optimizer(train_cfg, total_steps)
-    compute_dtype = jnp.bfloat16 if train_cfg.get("precision") == "bf16" else jnp.float32
+    tx, sched, fused = make_optimizer(train_cfg, total_steps)
+    precision = train_cfg.get("precision")
+    compute_dtype = (
+        jnp.bfloat16 if precision in ("bf16", "pure_bf16") else jnp.float32
+    )
 
     trainable, frozen = split_params(model, params)
+    if precision == "pure_bf16":
+        # The reference's primary mode is model.half(): fp16 params, grads
+        # AND Adam moments (train.py:157-159, 185-189, fp16 eps 1e-4). This
+        # is its TPU analog — params cast ONCE to bf16 (no per-step master
+        # cast), bf16 grads, bf16 moment storage. Use with fp16: true so
+        # the reference's eps rule engages.
+        cast = lambda t: t.astype(jnp.bfloat16) \
+            if t.dtype == jnp.float32 else t  # noqa: E731
+        trainable = {k: cast(v) for k, v in trainable.items()}
+        frozen = {k: cast(v) for k, v in frozen.items()}
     n_tr = sum(int(np.prod(v.shape)) for v in trainable.values())
     logging.info(
         f"There are {len(trainable)} trainable params tensors "
         f"({n_tr:,} elements); {len(frozen)} frozen tensors."
     )
-    opt_state = tx.init(trainable)
+    opt_state = init_opt_state(tx, fused, trainable)
 
     # Multi-chip: mesh-sharded DP(xTP) train step — the TPU-native stand-in
     # for the reference's optional DeepSpeed engine (train.py:232-243).
@@ -189,6 +233,7 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
                 tp=model_ax > 1, zero=par_cfg.get("zero", True),
                 compute_dtype=compute_dtype,
                 device_augment=train_cfg.get("device_augment", False),
+                fused=fused,
             )
         )
         global_batch = make_global_batch_fn(mesh)
@@ -196,6 +241,7 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
         train_step, eval_step, _ = make_steps(
             model, criterion, tx, compute_dtype,
             device_augment=train_cfg.get("device_augment", False),
+            fused=fused,
         )
 
     rng = jax.random.PRNGKey(train_cfg.get("seed", 0))

@@ -245,9 +245,17 @@ def probe_train():
     for name, dropout_on in (("drop", True), ("nodrop", False)):
         loss_fn = make_loss(dropout_on)
 
+        # The accumulator perturbs ONE param leaf so the body can never be
+        # hoisted as loop-invariant (in the nodrop case the rng is unused
+        # and XLA would otherwise hoist the whole forward out of the loop).
+        def perturb(p, acc):
+            q = dict(p)
+            q["cls_token"] = p["cls_token"] + acc * 1e-30
+            return q
+
         def fwd_chain(p):
             def body(i, acc):
-                return acc + loss_fn(p, jax.random.fold_in(key, i))
+                return acc + loss_fn(perturb(p, acc), jax.random.fold_in(key, i))
             return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
         ms = timeit(jax.jit(fwd_chain), params)
@@ -255,7 +263,8 @@ def probe_train():
 
         def grad_chain(p):
             def body(i, carry):
-                g = jax.grad(loss_fn)(p, jax.random.fold_in(key, i))
+                g = jax.grad(lambda q, r: loss_fn(q, r))(
+                    perturb(p, carry), jax.random.fold_in(key, i))
                 return carry + jax.tree.leaves(g)[0].reshape(-1)[0]
             return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 

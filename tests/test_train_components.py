@@ -108,3 +108,54 @@ def test_metrics_match_sklearn():
         roc_auc_ovr_macro(y_true, proba)
         - roc_auc_score(y_true, proba, multi_class="ovr", average="macro")
     ) < 1e-10
+
+
+def test_fused_optimizer_matches_optax_chain():
+    """train/fused_optim.step must be numerically the optax
+    chain(clip_by_global_norm, adam) + apply_updates it replaces."""
+    import optax
+
+    from gaviko_tpu.train import fused_optim
+
+    rng = np.random.RandomState(0)
+    params = {f"w{i}": jnp.asarray(rng.randn(9, 13).astype(np.float32))
+              for i in range(4)}
+    sched = lambda c: 0.01 * (1.0 + 0.5 * jnp.cos(  # noqa: E731
+        c.astype(jnp.float32) * 0.1))
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adam(learning_rate=sched, eps=1e-8))
+    o = tx.init(params)
+    s = fused_optim.init(params)
+    p_ref = p_fused = params
+    for it in range(4):
+        # Alternate tiny/huge grads so BOTH clip branches are exercised.
+        grads = {
+            k: jnp.asarray(rng.randn(*v.shape).astype(np.float32))
+            * (10.0 if it % 2 else 0.01)
+            for k, v in params.items()
+        }
+        u, o = tx.update(grads, o, p_ref)
+        p_ref = optax.apply_updates(p_ref, u)
+        p_fused, s = fused_optim.step(grads, s, p_fused, sched, clip=1.0,
+                                      eps=1e-8)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(p_ref[k]), np.asarray(p_fused[k]), atol=1e-6)
+
+
+def test_fused_optimizer_pure_bf16_state():
+    """pure-bf16 mode (the reference's model.half() analog): params and
+    moments stay bf16, updates are finite and move the weights."""
+    from gaviko_tpu.train import fused_optim
+
+    rng = np.random.RandomState(1)
+    p = {"w": jnp.asarray(rng.randn(32, 16)).astype(jnp.bfloat16)}
+    s = fused_optim.init(p)
+    assert s.mu["w"].dtype == jnp.bfloat16
+    g = {"w": jnp.asarray(rng.randn(32, 16)).astype(jnp.bfloat16)}
+    p2, s2 = fused_optim.step(g, s, p, 3e-4, clip=1.0, eps=1e-4)
+    assert p2["w"].dtype == jnp.bfloat16
+    assert s2.mu["w"].dtype == jnp.bfloat16
+    a, b = np.asarray(p["w"], np.float32), np.asarray(p2["w"], np.float32)
+    assert np.isfinite(b).all() and (a != b).any()
+    assert int(s2.count) == 1

@@ -81,10 +81,14 @@ def test_three_train_steps_match_torch(method, tmp_path):
                       "three_phase": False},
     }
     criterion = make_criterion(train_cfg)
-    tx, _ = make_optimizer(train_cfg, total_steps=n_steps)
-    train_step, _, _ = make_steps(model, criterion, tx)
+    # fused defaults on, so this torch-parity run covers the fused
+    # clip+Adam path end to end (train/fused_optim.py).
+    tx, _, fused = make_optimizer(train_cfg, total_steps=n_steps)
+    train_step, _, _ = make_steps(model, criterion, tx, fused=fused)
     trainable, frozen = split_params(model, params)
-    opt_state = tx.init(trainable)
+    from gaviko_tpu.train.loop import init_opt_state
+
+    opt_state = init_opt_state(tx, fused, trainable)
     for xb, yb in batches:
         trainable, opt_state, loss, _ = train_step(
             trainable, opt_state, frozen, jnp.asarray(xb), jnp.asarray(yb),
