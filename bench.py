@@ -162,10 +162,54 @@ def bench_gaviko_l16():
     return GAVIKO_BATCH / dt
 
 
+def bench_logit_mae():
+    """On-chip compiled-vs-XLA numeric check (bf16 budget ~2e-3, CLAUDE.md).
+
+    Every parity test runs on CPU (interpret-mode kernels); this field runs
+    the COMPILED Mosaic kernels against the XLA twin on the real chip, so a
+    compiled-path miscompile (wrong results, right timing) cannot pass the
+    bench silently. Uses the flagship GAViKO config (exercises fused MHSA,
+    fused MLP, patchify, local attention, GPA) at batch 2.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.models.factory import build_model
+    from gaviko_tpu.ops import attention as attn_mod
+
+    cfg = dict(
+        image_size=160, image_patch_size=16, frames=120, frame_patch_size=12,
+        num_classes=5, channels=1, pool="cls", backbone="vit-b16",
+        method="gaviko", freeze_vit=True, num_prompts=32,
+        prompt_latent_dim=20, local_dim=20, local_k=[6, 6, 6],
+        DHW=[10, 10, 10], attn_drop=0.2, proj_drop=0.2, share_factor=1,
+        dropout=0.1, emb_dropout=0.1, gelu="tanh",
+    )
+    model = build_model(cfg)
+    params = _bf16_params(jax, jnp, model.init(jax.random.PRNGKey(0), model.spec))
+    vol = jnp.asarray(
+        np.random.RandomState(3).rand(2, 1, 120, 160, 160)
+    ).astype(jnp.bfloat16)
+    orig = attn_mod._DEFAULT_IMPL
+    try:
+        attn_mod.set_default_impl("flash")
+        flash = np.asarray(jax.jit(
+            lambda p, x: model.apply(p, x, model.spec))(params, vol),
+            np.float32)
+        attn_mod.set_default_impl("xla")
+        xla = np.asarray(jax.jit(
+            lambda p, x: model.apply(p, x, model.spec))(params, vol),
+            np.float32)
+    finally:
+        attn_mod.set_default_impl(orig)
+    return float(np.abs(flash - xla).mean())
+
+
 def main():
     infer = bench_infer_b16()
     train = bench_train_b16()
     gaviko = bench_gaviko_l16()
+    logit_mae = bench_logit_mae()
     print(json.dumps({
         "metric": "vit-b16 MRI inference throughput (120x160x160, bf16, batch 32)",
         "value": round(infer, 1),
@@ -183,6 +227,13 @@ def main():
                 "value": round(gaviko, 1),
                 "unit": "volumes/sec/chip",
                 "vs_baseline": round(gaviko / TARGET_GAVIKO, 3),
+            },
+            {
+                "metric": "on-chip compiled-kernels vs XLA-twin logit MAE "
+                          "(GAViKO vit-b16, bf16; budget 2e-3)",
+                "value": round(logit_mae, 5),
+                "unit": "mean abs logit diff",
+                "vs_baseline": round(2e-3 / max(logit_mae, 1e-9), 3),
             },
         ],
     }))

@@ -60,3 +60,49 @@ def test_training_with_device_augment(tmp_path):
     log = pd.read_csv(result["csv_log"])
     assert np.isfinite(log["train_step_loss"]).all()
     assert result["best_ckpt_path"]
+
+
+def test_shear_warp_matches_gather_warp():
+    """The banded-matmul shear path must reproduce the direct trilinear
+    gather warp (same RNG, same transform) up to the extra smoothing of
+    sequential 1D interpolation — a few percent on smooth volumes."""
+    from scipy.ndimage import gaussian_filter, zoom
+
+    from gaviko_tpu.ops.augment import _affine_one, _affine_shear_one
+
+    rng = np.random.RandomState(0)
+    vol = gaussian_filter(
+        zoom(rng.rand(6, 8, 8), (4, 4, 4), order=1), 1.5
+    ).astype(np.float32)[None]
+    for seed in (42, 7):
+        key = jax.random.PRNGKey(seed)
+        a = np.asarray(_affine_one(jnp.asarray(vol), key, 15.0, 0.1, 1.0))
+        b = np.asarray(_affine_shear_one(jnp.asarray(vol), key, 15.0, 0.1, 1.0))
+        # interior (boundary zero-fill rims differ slightly)
+        i = (0, slice(4, -4), slice(5, -5), slice(5, -5))
+        span = float(a[i].max() - a[i].min())
+        rel_mae = float(np.abs(a[i] - b[i]).mean()) / span
+        assert rel_mae < 0.03, rel_mae
+
+
+def test_shear_warp_identity_is_exact():
+    from gaviko_tpu.ops.augment import _affine_shear_one
+
+    rng = np.random.RandomState(1)
+    vol = rng.rand(1, 10, 12, 12).astype(np.float32)
+    out = np.asarray(_affine_shear_one(jnp.asarray(vol), jax.random.PRNGKey(0),
+                                       0.0, 0.0, 1.0))
+    np.testing.assert_allclose(out, vol, atol=1e-5)
+
+
+def test_train_augment_methods_agree_statistically():
+    """shear and gather paths produce the same distribution family: equal
+    shapes, [0,1] range, and close batch-level moments under the same key."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(2, 1, 12, 16, 16).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+    a = np.asarray(train_augment(x, key, method="gather"))
+    b = np.asarray(train_augment(x, key, method="shear"))
+    assert a.shape == b.shape
+    assert abs(a.mean() - b.mean()) < 0.02
+    assert abs(a.std() - b.std()) < 0.02
