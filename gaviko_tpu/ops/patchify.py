@@ -33,8 +33,8 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _patchify_kernel(x_ref, w_ref, b_ref, perm_ref, pos_ref, o_ref, rows_ref,
-                     *, gd, gh, gw, ph, pw, pd, kpad):
+def _patchify_kernel(x_ref, w_ref, b_ref, perm_ref, pos_ref, o_ref, *rest,
+                     gd, gh, gw, ph, pw, pd, kpad, save_rows=False):
     # x_ref: (pd, H, W) slab for grid step (b, d); rows_ref scratch holds the
     # WHOLE volume's gathered rows (gd*gh*gw, pw*kpad): each pw owns a
     # kpad-wide (128-aligned) column stripe with its pd*ph patch columns
@@ -47,6 +47,10 @@ def _patchify_kernel(x_ref, w_ref, b_ref, perm_ref, pos_ref, o_ref, rows_ref,
     # amortizing the latency that made gh separate (W, kdim) dots the
     # bottleneck of v3 — and the stripe copies below land at 128-aligned
     # lane offsets with their zero tails already in place.
+    if save_rows:
+        rows_out_ref, rows_ref = rest
+    else:
+        (rows_ref,) = rest
     d = pl.program_id(1)
     kdim = pd * ph
     z = jnp.concatenate([
@@ -66,6 +70,10 @@ def _patchify_kernel(x_ref, w_ref, b_ref, perm_ref, pos_ref, o_ref, rows_ref,
             # are static and 128-aligned on the lane dim.
             rows_ref[d, g * gw:(g + 1) * gw, q * kpad:(q + 1) * kpad] = \
                 zt[q * gw:(q + 1) * gw, g * kpad:(g + 1) * kpad]
+    if save_rows:
+        # Emit this depth slab's gathered rows (the patch matrix) so the
+        # backward's dW is one GEMM instead of an 8D-transpose recompute.
+        rows_out_ref[...] = rows_ref[d]
 
     @pl.when(d == gd - 1)
     def _():
@@ -112,31 +120,68 @@ def _patchify_reference(img, weight, bias, pos, spec):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def patchify_fused(img, weight, bias, pos, spec):
-    """Differentiable wrapper: Pallas forward, rematerialized XLA backward.
+    """Differentiable wrapper: Pallas forward + one-GEMM backward.
+
+    The forward emits the gathered patch matrix (``rows``) as a second
+    kernel output, so dW is a single (pw*kpad, tokens) x (tokens, dim) GEMM
+    instead of re-deriving patches through XLA's 8D-transpose path (~5 ms
+    per batch-8 — it dominated the train step's patchify backward).
     ``pos``: (N, dim) positional-embedding rows added in the GEMM epilogue
     (pass zeros to skip)."""
     return patchify_pallas(img, weight, bias, pos, spec)
 
 
 def _patchify_fwd(img, weight, bias, pos, spec):
-    return patchify_pallas(img, weight, bias, pos, spec), (img, weight, bias,
-                                                           pos)
+    out, rows = patchify_pallas(img, weight, bias, pos, spec, save_rows=True)
+    return out, (img, weight, bias, pos, rows)
 
 
 def _patchify_bwd(spec, res, g):
-    img, weight, bias, pos = res
-    _, vjp = jax.vjp(lambda i, w, b, p: _patchify_reference(i, w, b, p, spec),
-                     img, weight, bias, pos)
-    return vjp(g)
+    img, weight, bias, pos, rows = res
+    B, C, D, H, W = img.shape
+    pd = spec.frame_patch_size
+    ph, pw = spec.image_patch_size
+    dim = weight.shape[0]
+    kdim = pd * ph
+    kpad = ((kdim + 127) // 128) * 128
+    n_tok = rows.shape[1] * rows.shape[2]
+    gf = g.reshape(B * n_tok, dim)
+    rf = rows.reshape(B * n_tok, pw * kpad)
+    # (pw*kpad, dim) stripe-packed weight grad; stripe tails hit the rows'
+    # zero columns, so slicing them off loses nothing.
+    dw2 = jax.lax.dot_general(
+        rf, gf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dw4 = jnp.stack([
+        dw2[q * kpad:q * kpad + kdim].reshape(pd, ph, dim)
+        for q in range(pw)
+    ], axis=2)  # (pd, ph, pw, dim)
+    dweight = dw4.transpose(3, 0, 1, 2)[:, None].astype(weight.dtype)
+    gf32 = g.astype(jnp.float32)
+    dbias = gf32.sum(axis=(0, 1))
+    dpos = gf32.sum(axis=0)
+    # dImg is only ever requested when someone differentiates w.r.t. the
+    # volume (never in training); build it from the XLA reference so the
+    # whole branch DCEs away when its cotangent is unused.
+    _, img_vjp = jax.vjp(
+        lambda i: _patchify_reference(
+            i, weight, jnp.zeros((dim,), img.dtype),
+            jnp.zeros_like(dpos, img.dtype), spec),
+        img)
+    return (img_vjp(g)[0], dweight, dbias.astype(bias.dtype),
+            dpos.astype(pos.dtype))
 
 
 patchify_fused.defvjp(_patchify_fwd, _patchify_bwd)
 
 
 def patchify_pallas(img: jax.Array, weight: jax.Array, bias: jax.Array,
-                    pos: jax.Array, spec) -> jax.Array:
+                    pos: jax.Array, spec, save_rows: bool = False):
     """img [B, 1, D, H, W], weight (dim, 1, pd, ph, pw), pos (N, dim)
-    -> [B, N, dim] tokens (+ pos)."""
+    -> [B, N, dim] tokens (+ pos).
+
+    ``save_rows=True`` additionally returns the gathered patch matrix
+    (B, gd, gh*gw, pw*kpad) — the kernel's rows scratch, emitted per depth
+    slab — for the one-GEMM dW backward."""
     B, C, D, H, W = img.shape
     pd = spec.frame_patch_size
     ph, pw = spec.image_patch_size
@@ -158,9 +203,18 @@ def patchify_pallas(img: jax.Array, weight: jax.Array, bias: jax.Array,
 
     x = img.reshape(B, gd, pd, H, W)  # contiguous split of D
     n_tok = gd * gh * gw
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((None, n_tok, dim), lambda b, d: (b, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, n_tok, dim), img.dtype)]
+    if save_rows:
+        out_specs.append(
+            pl.BlockSpec((None, None, gh * gw, pw * kpad),
+                         lambda b, d: (b, d, 0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, gd, gh * gw, pw * kpad), img.dtype))
+    res = pl.pallas_call(
         functools.partial(_patchify_kernel, gd=gd, gh=gh, gw=gw, ph=ph, pw=pw,
-                          pd=pd, kpad=kpad),
+                          pd=pd, kpad=kpad, save_rows=save_rows),
         grid=(B, gd),
         in_specs=[
             pl.BlockSpec((None, None, pd, H, W), lambda b, d: (b, d, 0, 0, 0),
@@ -174,13 +228,12 @@ def patchify_pallas(img: jax.Array, weight: jax.Array, bias: jax.Array,
             pl.BlockSpec((n_tok, dim), lambda b, d: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, n_tok, dim), lambda b, d: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_tok, dim), img.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((gd, gh * gw, pw * kpad), img.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_use_interpret(),
     )(x, w2, b2, perm, pos.astype(img.dtype))
-    return out
+    return tuple(res) if save_rows else res[0]

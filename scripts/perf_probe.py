@@ -289,6 +289,62 @@ def probe_train():
     print(f"full step [drop]: {ms:.2f} ms ({8 / ms * 1000:.1f} vol/s)")
 
 
+def probe_train_depth():
+    """fwd and fwd+bwd at depths 2/7/12: slope = true per-layer cost,
+    intercept = patchify + embed + head + loss + glue (the chained
+    per-component probes are latency-confounded; this sweep is not)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.train.losses import focal_loss
+
+    model, params, vol, labels = _train_setup()
+    key = jax.random.PRNGKey(1)
+    volb = vol.astype(jnp.bfloat16)
+    results = {}
+    for k in (2, 7, 12):
+        spec_k = dataclasses.replace(model.spec, depth=k)
+        params_k = {
+            n: t for n, t in model.init(jax.random.PRNGKey(0), spec_k).items()
+        }
+
+        def loss_fn(p, step_rng):
+            pc = jax.tree.map(
+                lambda t: t.astype(jnp.bfloat16)
+                if t.dtype == jnp.float32 else t, p)
+            logits = model.apply(pc, volb, spec_k, train=True, rng=step_rng)
+            return focal_loss(logits.astype(jnp.float32), labels, gamma=1.2)
+
+        def perturb(p, acc):
+            q = dict(p)
+            q["cls_token"] = p["cls_token"] + acc * 1e-30
+            return q
+
+        def fwd_chain(p):
+            def body(i, acc):
+                return acc + loss_fn(perturb(p, acc), jax.random.fold_in(key, i))
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+        def grad_chain(p):
+            def body(i, carry):
+                g = jax.grad(loss_fn)(perturb(p, carry),
+                                      jax.random.fold_in(key, i))
+                return carry + jax.tree.leaves(g)[0].reshape(-1)[0]
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+        f = timeit(jax.jit(fwd_chain), params_k)
+        fb = timeit(jax.jit(grad_chain), params_k)
+        results[k] = (f, fb)
+        print(f"depth {k:2d}: fwd {f:.2f} ms  fwd+bwd {fb:.2f} ms")
+    (f2, fb2), (f12, fb12) = results[2], results[12]
+    print(f"per-layer: fwd {(f12 - f2) / 10:.3f} ms  "
+          f"fwd+bwd {(fb12 - fb2) / 10:.3f} ms")
+    print(f"intercept (depth-0 extrapolated): fwd {f2 - (f12 - f2) / 5:.2f} ms"
+          f"  fwd+bwd {fb2 - (fb12 - fb2) / 5:.2f} ms")
+
+
 def probe_train_layers():
     """Per-component fwd+bwd at the B8 train geometry (N=1008, bf16)."""
     import jax
@@ -373,6 +429,7 @@ PROBES = {
     "patchify": probe_patchify,
     "composed": probe_composed,
     "train": probe_train,
+    "train_depth": probe_train_depth,
     "train_layers": probe_train_layers,
     "optimizer": probe_optimizer,
 }
