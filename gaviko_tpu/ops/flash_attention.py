@@ -45,6 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gaviko_tpu.ops.hash_dropout import keep_mask
 
+LOG2E = float(np.log2(np.e))  # change-of-base for exp->exp2 folding
+
 
 def _no_seed():
     return jnp.zeros((1,), jnp.int32)
@@ -222,16 +224,22 @@ def _fused_mhsa_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, ml_ref=None, *,
     # bound, so softmax stays exact without a select pass over the N^2 block.
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
     bias = jnp.where(col < n_true, 0.0, -1e30)
+    # scale AND log2(e) folded into q — an (n, d) pass instead of an (n, n)
+    # score multiply — so scores are in log2 units and the softmax exp is a
+    # bare exp2 (jnp.exp would re-multiply the whole N^2 block by log2e).
+    # Softmax is invariant to the change of base: m and l are computed in
+    # the same units, and the saved (m, l) contract is "log2-unit stats"
+    # (the backward reconstructs P with the identical exp2 formula).
+    scale2 = scale * LOG2E
     for j in range(hp):
         sl = slice(j * dim_head, (j + 1) * dim_head)
-        # Scale folded into q: an (n, d) pass instead of the (n, n) score.
-        q = (q_ref[:, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        q = (q_ref[:, sl].astype(jnp.float32) * scale2).astype(q_ref.dtype)
         s = jax.lax.dot_general(
             q, k_ref[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m + bias)
+        p = jnp.exp2(s - m + bias)
         if dropout_rate > 0.0:
             # Reference order: softmax -> dropout -> PV (vision_transformer.py
             # :65-70); l is the PRE-dropout row sum, so it's reduced before
@@ -254,8 +262,11 @@ def _fused_mhsa_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, ml_ref=None, *,
             # Ones-column ride-along: pad V to a full 128-lane tile with ones
             # so one MXU dot returns [o | row-sum] — the row sum rides the
             # otherwise-wasted lanes (dim_head 64 < the 128-lane MXU tile)
-            # and the VPU lane-reduction pass disappears. Measured ~5% off
-            # the whole kernel at vit-b16 geometry.
+            # and the VPU lane-reduction pass disappears. A/B on-chip (round
+            # 3): removing this for a plain jnp.sum REGRESSED the layer
+            # 1.120 -> 1.203 ms at B32 — the in-kernel lane reduction does
+            # NOT overlap the MXU here, despite isolated mosaic_lab runs
+            # suggesting reductions are free. Keep the ride-along.
             ones = jnp.ones((n_pad, 128 - dim_head), v_ref.dtype)
             ve = jnp.concatenate([v_ref[:, sl], ones], axis=1)
             ol = jax.lax.dot_general(
@@ -413,19 +424,28 @@ def _fused_mhsa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
         bias = jnp.where(col < n_true, 0.0, -1e30)
     else:
         bias = None
+    scale2 = scale * LOG2E
     for j in range(hp):
         sl = slice(j * dim_head, (j + 1) * dim_head)
         q = q_ref[:, sl]
         k = k_ref[:, sl]
         v = v_ref[:, sl]
         do = do_ref[:, sl].astype(jnp.float32)
+        # scale*log2e folded into q (an (n, d) pass; scores in log2 units to
+        # match the forward-saved stats) and log2(l) folded into the
+        # subtracted row stat — P comes out of ONE exp2 with no N^2 scale
+        # or 1/l multiply passes. dK absorbs the scale exactly because it
+        # contracts against the pre-scaled q (dK = dS^T (scale q)); dQ gets
+        # its scale on the (n, d) output. LOG2E is divided back off both.
+        qs = (q.astype(jnp.float32) * scale2).astype(q.dtype)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
         m = ml_ref[:, 2 * j:2 * j + 1]
         l = ml_ref[:, 2 * j + 1:2 * j + 2]
-        e = jnp.exp(s - m + bias) if bias is not None else jnp.exp(s - m)
-        p = e * (1.0 / jnp.maximum(l, 1e-30))  # [block_q, n_pad] f32
+        ml2 = m + jnp.log2(jnp.maximum(l, 1e-30))
+        p = (jnp.exp2(s - ml2 + bias) if bias is not None
+             else jnp.exp2(s - ml2))  # [block_q, n_pad] f32
         delta = jnp.sum(do * o_ref[:, sl].astype(jnp.float32), axis=1,
                         keepdims=True)
 
@@ -477,13 +497,18 @@ def _fused_mhsa_bwd(heads, dim_head, scale, n_true, dropout_rate, res, g):
     qkv, seed, o_fwd, ml = res
     B, n_pad, three_inner = qkv.shape
     inner = three_inner // 3
-    hp = 2
+    import os
+    hp = int(os.environ.get("GAVIKO_BWD_HP", "2"))
+    if heads % hp != 0:
+        hp = 2
     nh = heads // hp
     hd = hp * dim_head
     # Q-blocked: per program, ~3 (block_q, n_pad) f32 buffers + K/V/scratch.
     # Pick block_q so those stay within ~7 MB of the 16 MB VMEM.
+    import os
+    bwd_budget = int(os.environ.get("GAVIKO_BWD_VMEM", "7000000"))
     block_q = n_pad
-    while 3 * block_q * n_pad * 4 > 7_000_000 and block_q % 2 == 0 \
+    while 3 * block_q * n_pad * 4 > bwd_budget and block_q % 2 == 0 \
             and (block_q // 2) % 8 == 0:
         block_q //= 2
     if 3 * block_q * n_pad * 4 > 12_000_000:  # degenerate shape: XLA VJP
