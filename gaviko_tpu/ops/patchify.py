@@ -33,6 +33,20 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _kpad(kdim: int) -> int:
+    """Stripe width for one pw phase's (pd*ph) patch columns.
+
+    Default: exact kdim when it is a sublane multiple — the stripe copies
+    then land at static (unaligned) lane offsets, which Mosaic lowers with
+    masked shifts, and the embedding GEMM's K dim carries no dead columns
+    (kdim 192 padded to 256 wasted 25% of the GEMM). Set GAVIKO_KPAD128=1
+    to restore 128-aligned stripes for A/B measurement."""
+    import os
+    if os.environ.get("GAVIKO_KPAD128") == "1" or kdim % 8 != 0:
+        return ((kdim + 127) // 128) * 128
+    return kdim
+
+
 def _patchify_kernel(x_ref, w_ref, b_ref, perm_ref, pos_ref, o_ref, *rest,
                      gd, gh, gw, ph, pw, pd, kpad, save_rows=False):
     # x_ref: (pd, H, W) slab for grid step (b, d); rows_ref scratch holds the
@@ -143,7 +157,7 @@ def _patchify_bwd(spec, res, g):
     ph, pw = spec.image_patch_size
     dim = weight.shape[0]
     kdim = pd * ph
-    kpad = ((kdim + 127) // 128) * 128
+    kpad = _kpad(kdim)
     n_tok = rows.shape[1] * rows.shape[2]
     gf = g.reshape(B * n_tok, dim)
     rf = rows.reshape(B * n_tok, pw * kpad)
@@ -188,7 +202,7 @@ def patchify_pallas(img: jax.Array, weight: jax.Array, bias: jax.Array,
     gd, gh, gw = D // pd, H // ph, W // pw
     dim = weight.shape[0]
     kdim = pd * ph
-    kpad = ((kdim + 127) // 128) * 128  # 128-aligned stripe per pw
+    kpad = _kpad(kdim)
     # (dim, pd, ph, pw) -> stacked (pw*kpad, dim): stripe q holds the
     # (pd, ph) weight slice for lane phase q; stripe tails stay zero so the
     # kernel's dead scratch columns contribute nothing.
@@ -201,7 +215,11 @@ def patchify_pallas(img: jax.Array, weight: jax.Array, bias: jax.Array,
     b2 = bias.reshape(1, dim).astype(img.dtype)
     perm = jnp.asarray(_perm_matrix(gw, pw).T, img.dtype)
 
-    x = img.reshape(B, gd, pd, H, W)  # contiguous split of D
+    # Index the 5D volume directly: a pd-sized block on the D axis gives the
+    # kernel the same (pd, H, W) slab WITHOUT a host-side reshape. (A reshape
+    # to (B, gd, pd, H, W) made XLA's layout assignment route the whole
+    # 196 MB input through a physically-no-op layout-permuting copy —
+    # 0.84 ms per B32 batch — just to make the reshape a formal bitcast.)
     n_tok = gd * gh * gw
     out_specs = [pl.BlockSpec((None, n_tok, dim), lambda b, d: (b, 0, 0),
                               memory_space=pltpu.VMEM)]
@@ -217,7 +235,7 @@ def patchify_pallas(img: jax.Array, weight: jax.Array, bias: jax.Array,
                           pd=pd, kpad=kpad, save_rows=save_rows),
         grid=(B, gd),
         in_specs=[
-            pl.BlockSpec((None, None, pd, H, W), lambda b, d: (b, d, 0, 0, 0),
+            pl.BlockSpec((None, None, pd, H, W), lambda b, d: (b, 0, d, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((pw * kpad, dim), lambda b, d: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -235,5 +253,5 @@ def patchify_pallas(img: jax.Array, weight: jax.Array, bias: jax.Array,
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_use_interpret(),
-    )(x, w2, b2, perm, pos.astype(img.dtype))
+    )(img, w2, b2, perm, pos.astype(img.dtype))
     return tuple(res) if save_rows else res[0]
