@@ -56,7 +56,8 @@ def gelu_exact_f32(x):
 
 
 def _mlp_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                o_ref, acc_ref, *, eps, approximate, dropout_rate, residual):
+                *refs, eps, approximate, dropout_rate, residual,
+                save_a=False):
     """Grid = (row_blocks, mlp_chunks). The hidden dim streams in chunks so
     weight slices fit VMEM even for vit-l16 (dim 1024, mlp 4096); partial
     fc2 products accumulate in an f32 scratch, written out on the last
@@ -66,6 +67,10 @@ def _mlp_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     vision_transformer.py:26-38) replays hash bits addressed by (global flat
     row, feature column): salt 0 for the hidden site, salt 1 for the output
     site — the XLA backward reconstructs identical masks."""
+    if save_a:
+        o_ref, a_ref, acc_ref = refs
+    else:
+        o_ref, acc_ref = refs
     i, j = pl.program_id(0), pl.program_id(1)
     nj = pl.num_programs(1)
     block = x_ref.shape[0]
@@ -78,6 +83,11 @@ def _mlp_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         h, w1_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[:].astype(jnp.float32)
+    if save_a:
+        # Emit the pre-GELU hidden: the Pallas backward then skips its
+        # recompute of the (block, mlp) fc1 dot — the extra dot of the
+        # 5-GEMM backward — and re-derives gelu/dropout from `a` directly.
+        a_ref[:] = h.astype(a_ref.dtype)
     if approximate:
         h = jax.nn.gelu(h, approximate=True)
     else:
@@ -156,23 +166,32 @@ def fused_mlp(x, gamma, beta, w1, b1, w2, b2, seed, eps: float,
 
 
 def _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
-                       dropout_rate, residual=False):
+                       dropout_rate, residual=False, save_a=False):
     B, N, dim = x.shape
     mlp_dim = w1.shape[0]
     rows = B * N
     # Row-block size: 256 measured best as wired (3.13 vs 3.31 ms/call at
     # vit-b16 B32 for 256 vs 1008); larger blocks won in an isolated lab but
     # regressed in-model, so trust the wired probe.
-    block = 256
+    import os
+    block = int(os.environ.get("GAVIKO_MLP_BLOCK", "256"))
     n_pad = ((rows + block - 1) // block) * block
     xf = x.reshape(rows, dim)
     if n_pad != rows:
         xf = jnp.pad(xf, [(0, n_pad - rows), (0, 0)])
     chunk = _chunk_plan(dim, mlp_dim, jnp.dtype(x.dtype).itemsize)
     nj = mlp_dim // chunk
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((block, dim), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((n_pad, dim), x.dtype)]
+    if save_a:
+        out_specs.append(pl.BlockSpec((block, chunk), lambda i, j: (i, j),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((n_pad, mlp_dim), x.dtype))
+    res = pl.pallas_call(
         functools.partial(_mlp_kernel, eps=eps, approximate=approximate,
-                          dropout_rate=dropout_rate, residual=residual),
+                          dropout_rate=dropout_rate, residual=residual,
+                          save_a=save_a),
         grid=(n_pad // block, nj),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -184,9 +203,8 @@ def _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
             pl.BlockSpec((dim, chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dim), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block, dim), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, dim), x.dtype),
+        out_specs=tuple(out_specs) if save_a else out_specs[0],
+        out_shape=tuple(out_shapes) if save_a else out_shapes[0],
         scratch_shapes=[pltpu.VMEM((block, dim), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -195,15 +213,24 @@ def _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
         interpret=_use_interpret(),
     )(seed, xf, gamma.reshape(1, dim), beta.reshape(1, dim), w1,
       b1.reshape(1, mlp_dim), w2, b2.reshape(1, dim))
-    return out[:rows].reshape(B, N, dim)
+    if save_a:
+        out, a = res
+        return out[:rows].reshape(B, N, dim), a
+    return res[:rows].reshape(B, N, dim)
 
 
 def _fused_mlp_fwd(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
                    dropout_rate, residual):
+    dim, mlp_dim = x.shape[-1], w1.shape[0]
+    if _mlp_bwd_supported(dim, mlp_dim, jnp.dtype(x.dtype).itemsize):
+        out, a = _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps,
+                                    approximate, dropout_rate, residual,
+                                    save_a=True)
+        return out, (x, gamma, beta, w1, b1, w2, b2, seed, a)
     return (
         _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps,
                            approximate, dropout_rate, residual),
-        (x, gamma, beta, w1, b1, w2, b2, seed),
+        (x, gamma, beta, w1, b1, w2, b2, seed, None),
     )
 
 
@@ -251,7 +278,7 @@ def _gelu_grad_f32(a, approximate):
 
 
 def _mlp_bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
-                    dy_ref, dx_ref, dg_ref, db_ref, dw1_ref, db1_ref,
+                    dy_ref, a_ref, dx_ref, dg_ref, db_ref, dw1_ref, db1_ref,
                     dw2_ref, db2_ref,
                     dw1_acc, db1_acc, dw2_acc, db2_acc, dg_acc, db_acc, *,
                     eps, approximate, dropout_rate, residual):
@@ -269,17 +296,16 @@ def _mlp_bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
     block = x_ref.shape[0]
     inv = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
-    # Recompute the forward up to the hidden (same math as _mlp_kernel).
+    # Recompute the LN (VPU-only, cheap); the pre-GELU hidden `a` comes in
+    # SAVED from the forward kernel, so the fc1 recompute dot — one of the
+    # backward's five (block, mlp)-scale GEMMs — is gone.
     xf = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
     xhat = (xf - mean) * rstd
     h = (xhat.astype(x_ref.dtype) * g_ref[:] + b_ref[:])
-    a = jax.lax.dot_general(
-        h, w1_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[:].astype(jnp.float32)
+    a = a_ref[:].astype(jnp.float32)
     if approximate:
         gact = jax.nn.gelu(a, approximate=True)
     else:
@@ -357,18 +383,20 @@ def _mlp_bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
         db_ref[:] = db_acc[:].astype(db_ref.dtype)
 
 
-def _mlp_bwd_pallas(x, gamma, beta, w1, b1, w2, b2, seed, g, eps, approximate,
-                    dropout_rate, residual):
+def _mlp_bwd_pallas(x, gamma, beta, w1, b1, w2, b2, seed, g, a, eps,
+                    approximate, dropout_rate, residual):
     B, N, dim = x.shape
     mlp_dim = w1.shape[0]
     rows = B * N
-    block = 256
+    import os
+    block = int(os.environ.get("GAVIKO_MLP_BLOCK", "256"))
     n_pad = ((rows + block - 1) // block) * block
     xf = x.reshape(rows, dim)
     gf = g.reshape(rows, dim)
     if n_pad != rows:
         xf = jnp.pad(xf, [(0, n_pad - rows), (0, 0)])
         gf = jnp.pad(gf, [(0, n_pad - rows), (0, 0)])
+    # `a` is already (n_pad, mlp_dim) from the forward kernel.
     full = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),  # noqa: E731
                                        memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
@@ -382,6 +410,8 @@ def _mlp_bwd_pallas(x, gamma, beta, w1, b1, w2, b2, seed, g, eps, approximate,
             full(1, dim), full(1, dim),
             full(mlp_dim, dim), full(1, mlp_dim), full(dim, mlp_dim),
             pl.BlockSpec((block, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, mlp_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -414,7 +444,7 @@ def _mlp_bwd_pallas(x, gamma, beta, w1, b1, w2, b2, seed, g, eps, approximate,
         ),
         interpret=_use_interpret(),
     )(seed, xf, gamma.reshape(1, dim), beta.reshape(1, dim),
-      w1, b1.reshape(1, mlp_dim), w2, gf)
+      w1, b1.reshape(1, mlp_dim), w2, gf, a)
     dx, dgamma, dbeta, dw1, db1, dw2, db2 = outs
     return (
         dx[:rows].reshape(B, N, dim),
@@ -435,11 +465,12 @@ def _mlp_bwd_supported(dim, mlp_dim, itemsize):
 def _fused_mlp_bwd(eps, approximate, dropout_rate, residual, res, g):
     import numpy as np
 
-    x, gamma, beta, w1, b1, w2, b2, seed = res
+    x, gamma, beta, w1, b1, w2, b2, seed, a = res
     dim, mlp_dim = x.shape[-1], w1.shape[0]
-    if _mlp_bwd_supported(dim, mlp_dim, jnp.dtype(x.dtype).itemsize):
-        grads = _mlp_bwd_pallas(x, gamma, beta, w1, b1, w2, b2, seed, g, eps,
-                                approximate, dropout_rate, residual)
+    if a is not None and _mlp_bwd_supported(dim, mlp_dim,
+                                            jnp.dtype(x.dtype).itemsize):
+        grads = _mlp_bwd_pallas(x, gamma, beta, w1, b1, w2, b2, seed, g, a,
+                                eps, approximate, dropout_rate, residual)
         return (*grads, np.zeros(seed.shape, dtype=jax.dtypes.float0))
     _, vjp = jax.vjp(
         lambda x, gamma, beta, w1, b1, w2, b2: mlp_reference(
