@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 
 from gaviko_tpu.config import METHODS, apply_method_override, load_config
+from gaviko_tpu.utils.layouts import put_volume
 from gaviko_tpu.data import transforms as T
 from gaviko_tpu.data.pipeline import Loader, dataset_from_dataframe, split_dataframe
 from gaviko_tpu.models.factory import build_model
@@ -85,7 +86,7 @@ def evaluate(config: dict) -> dict:
 
     y_test, y_pred, y_proba = [], [], []
     for inputs, labels, n_valid in loader:
-        _, _, logits = eval_step(trainable, frozen, jnp.asarray(inputs), jnp.asarray(labels))
+        _, _, logits = eval_step(trainable, frozen, put_volume(inputs), jnp.asarray(labels))
         logits = np.asarray(logits)[:n_valid]
         y_test.extend(labels[:n_valid].tolist())
         y_pred.extend(np.argmax(logits, axis=1).tolist())

@@ -30,6 +30,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from gaviko_tpu.utils.layouts import put_volume
+
 
 class Predictor:
     def __init__(
@@ -111,7 +113,7 @@ class Predictor:
             n = len(chunk)
             if n < self.batch_size:
                 chunk = chunk + [np.zeros_like(chunk[0])] * (self.batch_size - n)
-            batch = jnp.asarray(np.stack(chunk)).astype(self._cdtype)
+            batch = put_volume(np.stack(chunk), self._cdtype)
             logits = np.asarray(self._compiled(params, batch))
             outs.append(logits[:n])
         return np.concatenate(outs, axis=0) if outs else np.zeros((0, self.spec.num_classes))

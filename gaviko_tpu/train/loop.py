@@ -34,6 +34,7 @@ import optax
 from gaviko_tpu.models.factory import Model
 from gaviko_tpu.train import schedule as schedule_lib
 from gaviko_tpu.train.losses import make_criterion
+from gaviko_tpu.utils.layouts import put_volume
 from gaviko_tpu.utils.logging import (
     TRAIN_LOG_FIELDS,
     CSVLogger,
@@ -340,7 +341,10 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
             # Multi-host: assemble the global batch from this host's slice
             # (identity on a single process).
             inputs, labels = global_batch(inputs, labels)
-            inputs = jnp.asarray(inputs)
+            # Row-major pinned transfer: the default TPU layout for NCDHW
+            # volumes puts D in lanes, forcing a whole-batch relayout copy
+            # inside the step (see utils/layouts.py).
+            inputs = put_volume(inputs)
             labels = jnp.asarray(labels)
             memory_logger.display_after_moving_data_to_gpu()
             if index == 0 and epoch == start_epoch:
@@ -402,7 +406,7 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
         # ---- validation ----
         val_stats = []
         for index_val, (inputs, labels, n_valid) in enumerate(val_loader):
-            inputs = jnp.asarray(inputs)
+            inputs = put_volume(inputs)
             labels = jnp.asarray(labels)
             loss, correct, _ = eval_step(trainable, frozen, inputs, labels)
             if index_val == 0 and train_cfg.get("flops_calculation") and not flops_done:

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaviko_tpu.config import METHODS, apply_method_override, load_config
+from gaviko_tpu.utils.layouts import put_volume
 from gaviko_tpu.data import transforms as T
 from gaviko_tpu.data.pipeline import Loader, dataset_from_dataframe, scan_folder
 from gaviko_tpu.models.factory import build_model
@@ -59,7 +60,7 @@ def inference(config: dict) -> str:
 
     all_outputs = []
     for inputs, _, n_valid in loader:
-        logits = np.asarray(predict_step(trainable, frozen, jnp.asarray(inputs)))
+        logits = np.asarray(predict_step(trainable, frozen, put_volume(inputs)))
         all_outputs.append(np.argmax(logits[:n_valid], axis=1))
     all_outputs = np.concatenate(all_outputs, axis=0) if all_outputs else np.zeros(0, int)
     logging.info(f"Final outputs shape: {all_outputs.shape}")
