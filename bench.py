@@ -81,10 +81,18 @@ def bench_infer_b16():
     ).astype(jnp.bfloat16)
 
     def chain(params, x):
-        def body(i, x):
-            out = model.apply(params, x, model.spec)
-            return x + out[0, 0].astype(x.dtype) * jnp.bfloat16(1e-30)
-        return jax.lax.fori_loop(0, ITERS, body, x)[0, 0, 0, 0, 0]
+        # Iteration chain through the patch-embed bias: it is an OPERAND of
+        # the patchify Pallas call (an opaque custom call — XLA cannot split
+        # it), so the whole forward from the first kernel on depends on the
+        # carry and nothing hoists. (A head-bias carry was hoisted: additive
+        # at the output, XLA pulled the entire forward out of the loop. A
+        # cls-token carry leaves patchify hoistable.) The carry update is
+        # O(dim) — the old full-volume carry paid a 196 MB elementwise
+        # add+write (~0.5 ms/iter) inside every measured iteration.
+        def body(i, c):
+            out = model.apply({**params, "conv_proj.0.bias": c}, x, model.spec)
+            return c + out[0, 0].astype(c.dtype) * jnp.asarray(1e-30, c.dtype)
+        return jax.lax.fori_loop(0, ITERS, body, params["conv_proj.0.bias"])[0]
 
     dt = _timeit(jax.jit(chain), params, vol)
     return INFER_BATCH / dt
@@ -153,10 +161,18 @@ def bench_gaviko_l16():
     ).astype(jnp.bfloat16)
 
     def chain(params, x):
-        def body(i, x):
-            out = model.apply(params, x, model.spec)
-            return x + out[0, 0].astype(x.dtype) * jnp.bfloat16(1e-30)
-        return jax.lax.fori_loop(0, ITERS, body, x)[0, 0, 0, 0, 0]
+        # Iteration chain through the patch-embed bias: it is an OPERAND of
+        # the patchify Pallas call (an opaque custom call — XLA cannot split
+        # it), so the whole forward from the first kernel on depends on the
+        # carry and nothing hoists. (A head-bias carry was hoisted: additive
+        # at the output, XLA pulled the entire forward out of the loop. A
+        # cls-token carry leaves patchify hoistable.) The carry update is
+        # O(dim) — the old full-volume carry paid a 196 MB elementwise
+        # add+write (~0.5 ms/iter) inside every measured iteration.
+        def body(i, c):
+            out = model.apply({**params, "conv_proj.0.bias": c}, x, model.spec)
+            return c + out[0, 0].astype(c.dtype) * jnp.asarray(1e-30, c.dtype)
+        return jax.lax.fori_loop(0, ITERS, body, params["conv_proj.0.bias"])[0]
 
     dt = _timeit(jax.jit(chain), params, vol)
     return GAVIKO_BATCH / dt

@@ -67,7 +67,8 @@ def _ln_linear_forward(x, gamma, beta, w, eps):
     B, N, dim = x.shape
     out_dim = w.shape[0]
     rows = B * N
-    block = 256
+    import os
+    block = int(os.environ.get("GAVIKO_LNL_BLOCK", "256"))
     n_pad = ((rows + block - 1) // block) * block
     xf = x.reshape(rows, dim)
     if n_pad != rows:
@@ -171,7 +172,8 @@ def _ln_linear_bwd(eps, res, g):
         )
         return vjp(g)
     rows = B * N
-    block = 256
+    import os
+    block = int(os.environ.get("GAVIKO_LNL_BLOCK", "256"))
     n_pad = ((rows + block - 1) // block) * block
     xf = x.reshape(rows, dim)
     gf = g.reshape(rows, out_dim)
