@@ -94,9 +94,21 @@ def attention_block(
 
     # MeLO layers carry nested to_qkv.qkv names and inject qkv_override, so
     # only resolve the plain name when no override is given.
+    from gaviko_tpu.ops.int8_linear import (
+        INT8_SUFFIX, SCALE_SUFFIX, has_int8, int8_linear)
+
     wq = None if qkv_override is not None else p[f"{prefix}.to_qkv.weight"]
     if qkv_override is not None:
         qkv = qkv_override(layer_norm(p, f"{prefix}.norm", x))
+    elif (not train and wq is not None
+          and has_int8(p, f"{prefix}.to_qkv.weight")):
+        # Opt-in w8a8 serving path (ops/int8_linear.py): LN + dynamic
+        # per-row activation quant + int8 MXU dot in one kernel.
+        qkv = int8_linear(
+            x, p[f"{prefix}.to_qkv.weight" + INT8_SUFFIX],
+            p[f"{prefix}.to_qkv.weight" + SCALE_SUFFIX],
+            gamma=p[f"{prefix}.norm.weight"], beta=p[f"{prefix}.norm.bias"],
+        )
     elif (
         _attn_mod._DEFAULT_IMPL == "flash"
         and not train
@@ -157,7 +169,14 @@ def attention_block(
         out = out.transpose(0, 2, 1, 3).reshape(B, -1, heads * dh)
         if n_true != N:
             out = jnp.pad(out, [(0, 0), (0, N - n_true), (0, 0)])
-    out = linear(p, f"{prefix}.to_out.0", out)
+    if not train and has_int8(p, f"{prefix}.to_out.0.weight"):
+        out = int8_linear(
+            out, p[f"{prefix}.to_out.0.weight" + INT8_SUFFIX],
+            p[f"{prefix}.to_out.0.weight" + SCALE_SUFFIX],
+            bias=p[f"{prefix}.to_out.0.bias"],
+        )
+    else:
+        out = linear(p, f"{prefix}.to_out.0", out)
     out = dropout(out, spec.dropout, train, rngs)
     return out
 
@@ -242,7 +261,22 @@ def feedforward_block_res(
     from gaviko_tpu.ops import attention as attn_mod
     from gaviko_tpu.ops.fused_mlp import fused_mlp, fused_mlp_supported
     from gaviko_tpu.ops.hash_dropout import seed_from_key
+    from gaviko_tpu.ops.int8_linear import (
+        INT8_SUFFIX, SCALE_SUFFIX, has_int8, int8_mlp)
 
+    if not train and has_int8(p, f"{prefix}.net.1.weight"):
+        # Opt-in w8a8 serving path: LN + int8 fc1 + GELU + int8 fc2 + x in
+        # one kernel (ops/int8_linear.py).
+        return int8_mlp(
+            x, p[f"{prefix}.net.0.weight"], p[f"{prefix}.net.0.bias"],
+            p[f"{prefix}.net.1.weight" + INT8_SUFFIX],
+            p[f"{prefix}.net.1.weight" + SCALE_SUFFIX],
+            p[f"{prefix}.net.1.bias"],
+            p[f"{prefix}.net.4.weight" + INT8_SUFFIX],
+            p[f"{prefix}.net.4.weight" + SCALE_SUFFIX],
+            p[f"{prefix}.net.4.bias"],
+            1e-5, spec.gelu == "tanh", residual=True,
+        )
     if (
         attn_mod._DEFAULT_IMPL == "flash"
         and fused_mlp_supported(x.shape[-1], p[f"{prefix}.net.1.weight"].shape[0], x.dtype)

@@ -41,7 +41,12 @@ class Predictor:
         batch_size: int = 8,
         dtype: str = "bfloat16",
         pretrained_dir: Optional[str] = "./pretrained",
+        quantize: Optional[str] = None,
     ):
+        """``quantize='int8'``: opt-in w8a8 backbone GEMMs (per-channel
+        int8 weights, dynamic per-row int8 activations; ops/int8_linear.py).
+        The checkpoint/params contract is unchanged — quantization adds
+        sidecar entries at load time and survives hot reloads."""
         import jax
         import jax.numpy as jnp
 
@@ -56,6 +61,9 @@ class Predictor:
         self._pretrained_dir = pretrained_dir
         cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self._cdtype = cdtype
+        if quantize not in (None, "int8"):
+            raise ValueError(f"Unknown quantize mode: {quantize!r}")
+        self._quantize = quantize
         self.params = self._load_params(checkpoint)
         self._transform = eval_transform
         spec = self.spec
@@ -82,11 +90,16 @@ class Predictor:
             self.model, jax.random.PRNGKey(0),
             pretrained_dir=self._pretrained_dir, checkpoint_path=checkpoint,
         )
-        return jax.tree.map(
+        params = jax.tree.map(
             lambda t: t.astype(self._cdtype)
             if t.dtype == jnp.float32 else t,
             params,
         )
+        if self._quantize == "int8":
+            from gaviko_tpu.ops.int8_linear import quantize_backbone
+
+            params = quantize_backbone(params, self.spec.depth)
+        return params
 
     def reload_checkpoint(self, checkpoint: Optional[str]) -> None:
         """Hot-swap weights without recompiling or downtime: the compiled

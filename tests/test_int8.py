@@ -1,0 +1,111 @@
+"""Opt-in w8a8 serving path (ops/int8_linear.py): quantization math and
+end-to-end quality budget vs the bf16/f32 path, on CPU interpret mode
+(int math is exact either way, so these results transfer to the chip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaviko_tpu.ops.int8_linear import (
+    INT8_SUFFIX,
+    SCALE_SUFFIX,
+    int8_linear,
+    int8_mlp,
+    quantize_backbone,
+    quantize_weight,
+)
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(128, 256).astype(np.float32))
+    w_i8, scale = quantize_weight(w)
+    assert w_i8.dtype == jnp.int8 and scale.shape == (1, 128)
+    deq = np.asarray(w_i8, np.float32) * np.asarray(scale).T
+    # Per-channel symmetric: error bounded by scale/2 per element.
+    err = np.abs(deq - np.asarray(w))
+    assert (err <= np.asarray(scale).T / 2 + 1e-7).all()
+
+
+def test_int8_linear_matches_f32():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 40, 256).astype(np.float32))
+    w = jnp.asarray(rng.randn(128, 256).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(128).astype(np.float32) * 0.01)
+    w_i8, scale = quantize_weight(w)
+    got = int8_linear(x, w_i8, scale, bias=b)
+    ref = x @ w.T + b
+    rel = float(jnp.mean(jnp.abs(got - ref)) / jnp.mean(jnp.abs(ref)))
+    assert rel < 2e-2, rel
+
+
+def test_int8_linear_with_ln():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 40, 256).astype(np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(256).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.randn(256).astype(np.float32))
+    w = jnp.asarray(rng.randn(384, 256).astype(np.float32) * 0.05)
+    w_i8, scale = quantize_weight(w)
+    got = int8_linear(x, w_i8, scale, gamma=g, beta=be)
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    h = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * g + be
+    ref = h @ w.T
+    rel = float(jnp.mean(jnp.abs(got - ref)) / jnp.mean(jnp.abs(ref)))
+    assert rel < 2e-2, rel
+
+
+def test_int8_mlp_matches_f32():
+    rng = np.random.RandomState(3)
+    dim, mlp = 256, 512
+    x = jnp.asarray(rng.randn(1, 24, dim).astype(np.float32))
+    g = jnp.ones((dim,), jnp.float32)
+    be = jnp.zeros((dim,), jnp.float32)
+    w1 = jnp.asarray(rng.randn(mlp, dim).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(mlp).astype(np.float32) * 0.01)
+    w2 = jnp.asarray(rng.randn(dim, mlp).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(dim).astype(np.float32) * 0.01)
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    got = int8_mlp(x, g, be, w1q, s1, b1, w2q, s2, b2, residual=True)
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    h = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+    a = h @ w1.T + b1
+    ga = jax.nn.gelu(a, approximate=True)
+    ref = ga @ w2.T + b2 + xf
+    rel = float(jnp.mean(jnp.abs(got - ref)) / jnp.mean(jnp.abs(ref)))
+    assert rel < 3e-2, rel
+
+
+@pytest.mark.parametrize("method", ["fft"])
+def test_int8_model_logit_budget(method):
+    """Full vit-t16 forward: int8-sidecar logits vs the plain path."""
+    from gaviko_tpu.models.factory import build_model
+
+    cfg = dict(image_size=32, image_patch_size=16, frames=24,
+               frame_patch_size=12, num_classes=5, channels=1, pool="cls",
+               backbone="vit-t16", method=method, dropout=0.1,
+               emb_dropout=0.1)
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), model.spec)
+    vol = jnp.asarray(
+        np.random.RandomState(0).rand(2, 1, 24, 32, 32).astype(np.float32))
+    base = model.apply(params, vol, model.spec)
+    qparams = quantize_backbone(params, model.spec.depth)
+    assert any(k.endswith(INT8_SUFFIX) for k in qparams)
+    assert any(k.endswith(SCALE_SUFFIX) for k in qparams)
+    quant = model.apply(qparams, vol, model.spec)
+    rel = float(jnp.mean(jnp.abs(quant - base)) / jnp.mean(jnp.abs(base)))
+    assert rel < 5e-2, rel
+    # Argmax agreement on this batch (classification contract).
+    assert (jnp.argmax(quant, -1) == jnp.argmax(base, -1)).all()
+    # Training path must ignore the sidecars entirely (int8 is serving-only).
+    t_base = model.apply(params, vol, model.spec, train=True,
+                         rng=jax.random.PRNGKey(7))
+    t_quant = model.apply(qparams, vol, model.spec, train=True,
+                          rng=jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(t_base), np.asarray(t_quant))
