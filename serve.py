@@ -28,6 +28,9 @@ def main():
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8"],
+                        help="opt-in w8a8 backbone GEMMs (serving only)")
     parser.add_argument("--auth_token", type=str, default=None,
                         help="require 'Authorization: Bearer <token>' on POSTs")
     parser.add_argument("--checkpoint_dir", type=str, default=None,
@@ -43,6 +46,7 @@ def main():
         config, checkpoint=args.checkpoint, batch_size=args.batch_size,
         dtype=args.dtype,
         pretrained_dir=config["model"].get("pretrained_dir", "./pretrained"),
+        quantize=args.quantize,
     )
     serve(
         predictor, host=args.host, port=args.port,
