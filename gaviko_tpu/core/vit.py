@@ -219,7 +219,21 @@ def feedforward_block(
     from gaviko_tpu.ops import attention as attn_mod
     from gaviko_tpu.ops.fused_mlp import fused_mlp, fused_mlp_supported
     from gaviko_tpu.ops.hash_dropout import seed_from_key
+    from gaviko_tpu.ops.int8_linear import (
+        INT8_SUFFIX, SCALE_SUFFIX, has_int8, int8_mlp)
 
+    if not train and has_int8(p, f"{prefix}.net.1.weight"):
+        # Opt-in w8a8 serving path (ops/int8_linear.py), branch only.
+        return int8_mlp(
+            x, p[f"{prefix}.net.0.weight"], p[f"{prefix}.net.0.bias"],
+            p[f"{prefix}.net.1.weight" + INT8_SUFFIX],
+            p[f"{prefix}.net.1.weight" + SCALE_SUFFIX],
+            p[f"{prefix}.net.1.bias"],
+            p[f"{prefix}.net.4.weight" + INT8_SUFFIX],
+            p[f"{prefix}.net.4.weight" + SCALE_SUFFIX],
+            p[f"{prefix}.net.4.bias"],
+            1e-5, spec.gelu == "tanh", residual=False,
+        )
     if (
         attn_mod._DEFAULT_IMPL == "flash"
         and fused_mlp_supported(x.shape[-1], p[f"{prefix}.net.1.weight"].shape[0], x.dtype)

@@ -188,27 +188,24 @@ def int8_mlp(x, gamma, beta, w1_i8, s1, b1, w2_i8, s2, b2,
 INT8_SUFFIX = "::int8"
 SCALE_SUFFIX = "::int8_scale"
 
-# GEMM sites quantized per transformer layer (torch state_dict names).
-_SITES = ("to_qkv.weight", "to_out.0.weight", "net.1.weight", "net.4.weight")
+# GEMM sites quantized (key suffixes; match every block-naming scheme:
+# vanilla transformer.layers.{i}.{0,1}.*, GAViKO transformer.attns/mlps.{i}).
+_SITE_SUFFIXES = (".to_qkv.weight", ".to_out.0.weight",
+                  ".net.1.weight", ".net.4.weight")
 
 
-def quantize_backbone(params: dict, depth: int) -> dict:
+def quantize_backbone(params: dict, depth: int | None = None) -> dict:
     """Add int8 sidecar entries for every backbone GEMM weight.
 
     Returns a NEW flat dict: original params plus ``<key>::int8`` /
     ``<key>::int8_scale`` pairs. The bf16 originals stay (checkpoint and
     fallback contracts keep working); the model's fused path switches to
-    the int8 kernels when it sees the sidecars (core/vit.py).
+    the int8 kernels when it sees the sidecars (core/vit.py). ``depth`` is
+    accepted for API stability but unused (sites are found by key scan).
     """
     out = dict(params)
-    for i in range(depth):
-        for attn_or_mlp, site in (("0", "to_qkv.weight"),
-                                  ("0", "to_out.0.weight"),
-                                  ("1", "net.1.weight"),
-                                  ("1", "net.4.weight")):
-            key = f"transformer.layers.{i}.{attn_or_mlp}.{site}"
-            if key not in out:
-                continue
+    for key in list(params):
+        if key.endswith(_SITE_SUFFIXES):
             w_i8, scale = quantize_weight(out[key])
             out[key + INT8_SUFFIX] = w_i8
             out[key + SCALE_SUFFIX] = scale

@@ -109,3 +109,26 @@ def test_int8_model_logit_budget(method):
     t_quant = model.apply(qparams, vol, model.spec, train=True,
                           rng=jax.random.PRNGKey(7))
     np.testing.assert_array_equal(np.asarray(t_base), np.asarray(t_quant))
+
+
+def test_int8_gaviko_logit_budget():
+    """GAViKO (attns/mlps naming + dual streams): int8 backbone GEMMs."""
+    from gaviko_tpu.models.factory import build_model
+
+    cfg = dict(image_size=32, image_patch_size=16, frames=24,
+               frame_patch_size=12, num_classes=5, channels=1, pool="cls",
+               backbone="vit-t16", method="gaviko", num_prompts=8,
+               prompt_latent_dim=12, local_dim=12, local_k=[2, 2, 2],
+               DHW=[2, 2, 2], attn_drop=0.2, proj_drop=0.2, share_factor=1,
+               dropout=0.1, emb_dropout=0.1)
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), model.spec)
+    vol = jnp.asarray(
+        np.random.RandomState(4).rand(2, 1, 24, 32, 32).astype(np.float32))
+    base = model.apply(params, vol, model.spec)
+    qparams = quantize_backbone(params)
+    assert any(k.startswith("transformer.attns.") and k.endswith(INT8_SUFFIX)
+               for k in qparams)
+    quant = model.apply(qparams, vol, model.spec)
+    rel = float(jnp.mean(jnp.abs(quant - base)) / jnp.mean(jnp.abs(base)))
+    assert rel < 5e-2, rel
