@@ -42,11 +42,17 @@ class Predictor:
         dtype: str = "bfloat16",
         pretrained_dir: Optional[str] = "./pretrained",
         quantize: Optional[str] = None,
+        mesh_shape: Optional[tuple] = None,
     ):
         """``quantize='int8'``: opt-in w8a8 backbone GEMMs (per-channel
         int8 weights, dynamic per-row int8 activations; ops/int8_linear.py).
         The checkpoint/params contract is unchanged — quantization adds
-        sidecar entries at load time and survives hot reloads."""
+        sidecar entries at load time and survives hot reloads.
+
+        ``mesh_shape=(data, tp)``: mesh-parallel inference over
+        ``data*tp`` devices (parallel/infer.py) — batch sharded over
+        ``data``, Megatron-style TP over ``tp``. None (default) keeps the
+        single-device AOT path."""
         import jax
         import jax.numpy as jnp
 
@@ -64,12 +70,27 @@ class Predictor:
         if quantize not in (None, "int8"):
             raise ValueError(f"Unknown quantize mode: {quantize!r}")
         self._quantize = quantize
+        self._mesh_shape = tuple(mesh_shape) if mesh_shape else None
         self.params = self._load_params(checkpoint)
         self._transform = eval_transform
         spec = self.spec
         shape = (
             batch_size, spec.channels, spec.frames, *spec.image_size
         )
+
+        if self._mesh_shape is not None:
+            from gaviko_tpu.parallel.infer import parallel_predictor_fn
+
+            fwd, sharded, mesh = parallel_predictor_fn(
+                self.model, self.params, *self._mesh_shape,
+            )
+            self.params = sharded
+            self._mesh = mesh
+            self._compiled = fwd
+            logging.info(
+                f"Predictor ready: micro-batch {shape}, {dtype}, "
+                f"mesh data={self._mesh_shape[0]} x tp={self._mesh_shape[1]}")
+            return
 
         def forward(params, vol):
             return self.model.apply(params, vol, spec).astype(jnp.float32)
@@ -106,7 +127,14 @@ class Predictor:
         executable is shape/dtype-specialized, not weight-specialized, so a
         new params tree drops in atomically (in-flight predictions finish on
         the old reference)."""
-        self.params = self._load_params(checkpoint)
+        params = self._load_params(checkpoint)
+        if self._mesh_shape is not None:
+            from gaviko_tpu.parallel.mesh import shardings_for_params
+            sh = shardings_for_params(
+                params, self._mesh, tp=self._mesh_shape[1] > 1)
+            params = {k: self._jax.device_put(v, sh[k])
+                      for k, v in params.items()}
+        self.params = params
         logging.info(f"Reloaded checkpoint {checkpoint!r}")
 
     def predict_logits(self, volumes: Sequence[np.ndarray]) -> np.ndarray:

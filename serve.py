@@ -31,6 +31,8 @@ def main():
     parser.add_argument("--quantize", type=str, default=None,
                         choices=["int8"],
                         help="opt-in w8a8 backbone GEMMs (serving only)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="mesh-parallel inference 'data,tp' (e.g. 2,4)")
     parser.add_argument("--auth_token", type=str, default=None,
                         help="require 'Authorization: Bearer <token>' on POSTs")
     parser.add_argument("--checkpoint_dir", type=str, default=None,
@@ -47,6 +49,8 @@ def main():
         dtype=args.dtype,
         pretrained_dir=config["model"].get("pretrained_dir", "./pretrained"),
         quantize=args.quantize,
+        mesh_shape=tuple(int(x) for x in args.mesh.split(","))
+        if args.mesh else None,
     )
     serve(
         predictor, host=args.host, port=args.port,

@@ -265,3 +265,38 @@ def test_predict_snapshots_params_across_chunks(predictor):
         predictor.params = old_params
     assert calls["n"] == 2
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_predictor_mesh_parallel(tmp_path_factory):
+    """DP2xTP2 predictor on the virtual CPU mesh == single-device logits."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    root = str(tmp_path_factory.mktemp("serve_mesh"))
+    csv_path, volumes = make_synth_dataset(root, n_train=2, n_val=1)
+    config = tiny_config(root, csv_path, volumes)
+    single = Predictor(config, batch_size=2, dtype="float32",
+                       pretrained_dir=None)
+    meshp = Predictor(config, batch_size=2, dtype="float32",
+                      pretrained_dir=None, mesh_shape=(2, 2))
+    rng = np.random.RandomState(3)
+    vols = [rng.rand(24, 32, 32).astype(np.float32) for _ in range(4)]
+    np.testing.assert_allclose(
+        meshp.predict_logits(vols), single.predict_logits(vols), atol=2e-5)
+
+
+def test_predictor_int8_quantize(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("serve_q"))
+    csv_path, volumes = make_synth_dataset(root, n_train=2, n_val=1)
+    config = tiny_config(root, csv_path, volumes)
+    base = Predictor(config, batch_size=2, dtype="float32",
+                     pretrained_dir=None)
+    quant = Predictor(config, batch_size=2, dtype="float32",
+                      pretrained_dir=None, quantize="int8")
+    from gaviko_tpu.ops.int8_linear import INT8_SUFFIX
+    assert any(k.endswith(INT8_SUFFIX) for k in quant.params)
+    rng = np.random.RandomState(4)
+    vols = [rng.rand(24, 32, 32).astype(np.float32) for _ in range(3)]
+    a = base.predict_logits(vols)
+    b = quant.predict_logits(vols)
+    rel = np.abs(a - b).mean() / max(np.abs(a).mean(), 1e-9)
+    assert rel < 5e-2, rel
