@@ -205,7 +205,9 @@ def quantize_backbone(params: dict, depth: int | None = None) -> dict:
     """
     out = dict(params)
     for key in list(params):
-        if key.endswith(_SITE_SUFFIXES):
+        # GAViKO's local-attention stack has matching names but consumes
+        # weights inside its own masked kernel (no int8 branch there yet).
+        if key.endswith(_SITE_SUFFIXES) and ".local_attns." not in key:
             w_i8, scale = quantize_weight(out[key])
             out[key + INT8_SUFFIX] = w_i8
             out[key + SCALE_SUFFIX] = scale
