@@ -22,6 +22,32 @@ def test_flash_matches_xla(shape):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_flash_streaming_regime_matches_xla():
+    """N > WHOLE_K_MAX exercises the blockwise online-softmax kernel."""
+    rng = np.random.RandomState(5)
+    shape = (1, 1, 2560, 64)  # > 2048 -> streaming path (+ pad-to-512 tail)
+    q, k, v = (jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.2)
+               for _ in range(3))
+    scale = shape[-1] ** -0.5
+    want = _xla_attention(q, k, v, scale=scale, dropout_rate=0.0,
+                          dropout_enabled=False, rngs=None)
+    got = flash_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_streaming_ragged_tail():
+    """Non-multiple-of-512 N pads and masks the tail keys."""
+    rng = np.random.RandomState(6)
+    shape = (1, 1, 2200, 64)
+    q, k, v = (jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.2)
+               for _ in range(3))
+    scale = shape[-1] ** -0.5
+    want = _xla_attention(q, k, v, scale=scale, dropout_rate=0.0,
+                          dropout_enabled=False, rngs=None)
+    got = flash_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_flash_gradients_match():
     rng = np.random.RandomState(1)
     shape = (1, 2, 40, 16)
