@@ -1,0 +1,105 @@
+"""Capture a device-timeline trace of the bench train step / inference fwd.
+
+Runs ONE warm dispatch under jax.profiler (the chained-iteration bench
+methodology is for TIMING; per-op attribution wants a single step), then
+prints the per-op summary via scripts/xplane.py.
+
+    python scripts/trace_step.py train|infer [trace_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gaviko_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def build_train_step():
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.models.factory import build_model
+    from gaviko_tpu.train import fused_optim
+    from gaviko_tpu.train.losses import focal_loss
+
+    cfg = dict(
+        image_size=160, image_patch_size=16, frames=120, frame_patch_size=12,
+        num_classes=5, channels=1, pool="cls", backbone="vit-b16",
+        method="fft", dropout=0.1, emb_dropout=0.1, gelu="tanh",
+    )
+    model = build_model(cfg)
+    params = jax.tree.map(
+        lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t,
+        model.init(jax.random.PRNGKey(0), model.spec))
+    opt_state = fused_optim.init(params)
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(rng.rand(8, 1, 120, 160, 160)).astype(jnp.bfloat16)
+    labels = jnp.asarray(rng.randint(0, 5, size=8).astype(np.int32))
+    key = jax.random.PRNGKey(1)
+
+    def loss_fn(p, step_rng):
+        logits = model.apply(p, vol, model.spec, train=True, rng=step_rng)
+        return focal_loss(logits.astype(jnp.float32), labels, gamma=1.2)
+
+    @jax.jit
+    def step(p, o):
+        grads = jax.grad(loss_fn)(p, key)
+        return fused_optim.step(grads, o, p, 3e-4, clip=1.0, eps=1e-4)
+
+    return lambda: jax.block_until_ready(step(params, opt_state))
+
+
+def build_infer():
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.models.factory import build_model
+
+    cfg = dict(
+        image_size=160, image_patch_size=16, frames=120, frame_patch_size=12,
+        num_classes=5, channels=1, pool="cls", backbone="vit-b16",
+        method="fft", dropout=0.1, emb_dropout=0.1, gelu="tanh",
+    )
+    model = build_model(cfg)
+    params = jax.tree.map(
+        lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t,
+        model.init(jax.random.PRNGKey(0), model.spec))
+    vol = jnp.asarray(
+        np.random.RandomState(0).rand(32, 1, 120, 160, 160)).astype(jnp.bfloat16)
+    fn = jax.jit(lambda p, x: model.apply(p, x, model.spec))
+    return lambda: jax.block_until_ready(fn(params, vol))
+
+
+def main():
+    import jax
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "train"
+    trace_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/trace_{which}"
+    run = build_train_step() if which == "train" else build_infer()
+    run()  # compile + warm
+    run()
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(3):
+        run()
+    jax.profiler.stop_trace()
+    print(f"trace -> {trace_dir}", flush=True)
+    from xplane import device_op_summary  # noqa: E402  (same dir)
+    for pname, agg in device_op_summary(trace_dir).items():
+        total = sum(agg.values())
+        if total < 1e6:
+            continue
+        print(f"\n=== {pname}  (sum {total / 1e9 / 3:.3f} ms per dispatch over 3)")
+        for name, ps in sorted(agg.items(), key=lambda kv: -kv[1])[:48]:
+            print(f"{ps / 1e9 / 3:9.3f} ms  {name[:110]}")
+
+
+if __name__ == "__main__":
+    sys.path.append(os.path.dirname(os.path.abspath(__file__)))
+    main()
