@@ -89,8 +89,15 @@ def attention_block(
     MeLO inject its LoRA-augmented qkv projection. ``n_true`` marks the real
     token count when the stream carries padding rows (keys >= n_true are
     masked; padded rows' outputs are garbage by contract)."""
+    import os
+
     from gaviko_tpu.ops import attention as _attn_mod
-    from gaviko_tpu.ops.ln_linear import fused_ln_linear, ln_linear_supported
+    from gaviko_tpu.ops.ln_linear import (
+        fused_ln_linear,
+        ln_linear_hybrid,
+        ln_linear_hybrid_supported,
+        ln_linear_supported,
+    )
 
     # MeLO layers carry nested to_qkv.qkv names and inject qkv_override, so
     # only resolve the plain name when no override is given.
@@ -120,6 +127,22 @@ def attention_block(
         # at vit-b16 B32 eval but -4% on the train step (XLA's fused
         # LN+GEMM VJP beats the kernel's backward there).
         qkv = fused_ln_linear(
+            x, p[f"{prefix}.norm.weight"], p[f"{prefix}.norm.bias"], wq
+        )
+    elif (
+        _attn_mod._DEFAULT_IMPL == "flash"
+        and train
+        and wq.dtype == x.dtype
+        and os.environ.get("GAVIKO_LNQKV_HYBRID", "0") == "1"
+        and ln_linear_hybrid_supported(x.shape[-1], wq.shape[0], x.dtype)
+    ):
+        # MEASURED OFF (default "0"): the Pallas LN+qkv backward loses big to
+        # XLA's VJP on the full train step (57.4 vs 45.9 ms at vit-b16 B8 —
+        # the f32 dW scratch accumulation thrashes VMEM, and the trace shows
+        # XLA already fuses the dW dots with the grad-norm square-sums at
+        # ~0.165 ms/layer, near the 0.145 floor). Kept behind the env flag as
+        # the measured-and-rejected variant; see ARCHITECTURE.md round 3.
+        qkv = ln_linear_hybrid(
             x, p[f"{prefix}.norm.weight"], p[f"{prefix}.norm.bias"], wq
         )
     else:

@@ -464,11 +464,14 @@ def _fused_mhsa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
             do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        # dS = P * (dP - delta) with dP = keep/(1-q) * dPt expands to
+        # P_drop * dPt - P * delta (P_drop = keep/(1-q) * P is already
+        # computed for dV) — the separate masked-dP pass disappears and the
+        # whole thing is one fused multiply-subtract over the N^2 block.
         if dropout_rate > 0.0:
-            dp = jnp.where(keep, dpt * inv_keep, 0.0)
+            ds = (p_drop * dpt - p * delta).astype(q.dtype)
         else:
-            dp = dpt
-        ds = (p * (dp - delta)).astype(q.dtype)  # [block_q, n_pad]
+            ds = (p * (dpt - delta)).astype(q.dtype)  # [block_q, n_pad]
         dq = jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale

@@ -42,6 +42,17 @@ def ln_linear_supported(dim: int, out_dim: int, dtype) -> bool:
     )
 
 
+def ln_linear_hybrid_supported(dim: int, out_dim: int, dtype) -> bool:
+    """Gate for ``ln_linear_hybrid`` = the Pallas BACKWARD's VMEM fit
+    (weights + f32 dW accumulator resident)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return (
+        dim % 128 == 0
+        and out_dim % 128 == 0
+        and dim * out_dim * (itemsize + 4) <= 45_000_000
+    )
+
+
 def _ln_linear_kernel(x_ref, g_ref, b_ref, w_ref, o_ref, *, eps):
     x = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -108,6 +119,25 @@ def ln_linear_reference(x, gamma, beta, w, eps=1e-5):
 
 def _ln_linear_fwd(x, gamma, beta, w, eps):
     return _ln_linear_forward(x, gamma, beta, w, eps), (x, gamma, beta, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def ln_linear_hybrid(x, gamma, beta, w, eps: float = 1e-5):
+    """LN + Linear with an XLA forward and the Pallas row-blocked backward.
+
+    The TRAIN-path variant: XLA's forward fusion of LN into the qkv GEMM is
+    already optimal (the fully fused forward kernel measured -4% on the train
+    step, see ARCHITECTURE.md), but its backward materializes the f32
+    (rows, dim) dh cotangent and defers the dgamma/dbeta ROW-REDUCTIONS into
+    the optimizer-phase fusions (~3 ms/step at vit-b16 B8). This wrapper
+    keeps the XLA forward and routes the backward through
+    ``_ln_linear_bwd_kernel``, which accumulates dW/dgamma/dbeta in VMEM
+    scratch while the cotangent block is resident."""
+    return ln_linear_reference(x, gamma, beta, w, eps)
+
+
+def _ln_linear_hybrid_fwd(x, gamma, beta, w, eps):
+    return ln_linear_reference(x, gamma, beta, w, eps), (x, gamma, beta, w)
 
 
 def _ln_linear_bwd_kernel(x_ref, g_ref, b_ref, w_ref, dy_ref,
@@ -223,3 +253,4 @@ def _ln_linear_bwd(eps, res, g):
 
 
 fused_ln_linear.defvjp(_ln_linear_fwd, _ln_linear_bwd)
+ln_linear_hybrid.defvjp(_ln_linear_hybrid_fwd, _ln_linear_bwd)

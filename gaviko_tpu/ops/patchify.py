@@ -170,9 +170,10 @@ def _patchify_bwd(spec, res, g):
         for q in range(pw)
     ], axis=2)  # (pd, ph, pw, dim)
     dweight = dw4.transpose(3, 0, 1, 2)[:, None].astype(weight.dtype)
-    gf32 = g.astype(jnp.float32)
-    dbias = gf32.sum(axis=(0, 1))
-    dpos = gf32.sum(axis=0)
+    dpos = g.astype(jnp.float32).sum(axis=0)
+    # Same reduction, reordered: summing the (N, dim) dpos over N avoids a
+    # second full pass over the (B, N, dim) cotangent.
+    dbias = dpos.sum(axis=0)
     # dImg is only ever requested when someone differentiates w.r.t. the
     # volume (never in training); build it from the XLA reference so the
     # whole branch DCEs away when its cotangent is unused.

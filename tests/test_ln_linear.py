@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from gaviko_tpu.core.layers import layer_norm
 from gaviko_tpu.ops.ln_linear import (
     fused_ln_linear,
+    ln_linear_hybrid,
+    ln_linear_hybrid_supported,
     ln_linear_reference,
     ln_linear_supported,
 )
@@ -43,6 +45,27 @@ def test_gradients_match():
         return jnp.sum(ln_linear_reference(x, gamma, beta, w) ** 2)
 
     g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, gamma, beta, w)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, gamma, beta, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_hybrid_forward_and_gradients_match():
+    """ln_linear_hybrid: XLA forward must equal the reference exactly, and
+    its Pallas backward must match the pure-XLA VJP (the train-path qkv
+    projection runs through this wrapper)."""
+    x, gamma, beta, w = _inputs()
+    np.testing.assert_allclose(
+        np.asarray(ln_linear_hybrid(x, gamma, beta, w)),
+        np.asarray(ln_linear_reference(x, gamma, beta, w)), atol=0.0)
+
+    def loss_hybrid(x, gamma, beta, w):
+        return jnp.sum(ln_linear_hybrid(x, gamma, beta, w) ** 2)
+
+    def loss_ref(x, gamma, beta, w):
+        return jnp.sum(ln_linear_reference(x, gamma, beta, w) ** 2)
+
+    g1 = jax.grad(loss_hybrid, argnums=(0, 1, 2, 3))(x, gamma, beta, w)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, gamma, beta, w)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
