@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gaviko_tpu.ops._blocks import row_block
 from gaviko_tpu.ops.hash_dropout import apply_dropout, keep_mask
 
 
@@ -170,11 +171,13 @@ def _fused_mlp_forward(x, gamma, beta, w1, b1, w2, b2, seed, eps, approximate,
     B, N, dim = x.shape
     mlp_dim = w1.shape[0]
     rows = B * N
-    # Row-block size: 256 measured best as wired (3.13 vs 3.31 ms/call at
-    # vit-b16 B32 for 256 vs 1008); larger blocks won in an isolated lab but
-    # regressed in-model, so trust the wired probe.
-    import os
-    block = int(os.environ.get("GAVIKO_MLP_BLOCK", "256"))
+    # Row-block size, measured in-model on chip (round 3): 256 wins at
+    # train-step row counts (B8, rows 8064: block 512 regressed 45.9 ->
+    # 47.6 ms/step) while 512 wins at serving row counts (B32, rows 32256:
+    # 45.62 -> 45.40 ms/fwd) — deeper row pipelines amortize the weight
+    # residency only once the grid is long enough. 1008 regressed either
+    # way (isolated-lab wins did not transfer).
+    block = row_block(rows, "GAVIKO_MLP_BLOCK")
     n_pad = ((rows + block - 1) // block) * block
     xf = x.reshape(rows, dim)
     if n_pad != rows:
@@ -388,8 +391,7 @@ def _mlp_bwd_pallas(x, gamma, beta, w1, b1, w2, b2, seed, g, a, eps,
     B, N, dim = x.shape
     mlp_dim = w1.shape[0]
     rows = B * N
-    import os
-    block = int(os.environ.get("GAVIKO_MLP_BLOCK", "256"))
+    block = row_block(rows, "GAVIKO_MLP_BLOCK")
     n_pad = ((rows + block - 1) // block) * block
     xf = x.reshape(rows, dim)
     gf = g.reshape(rows, dim)

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gaviko_tpu.ops._blocks import row_block
+
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -78,8 +80,7 @@ def _ln_linear_forward(x, gamma, beta, w, eps):
     B, N, dim = x.shape
     out_dim = w.shape[0]
     rows = B * N
-    import os
-    block = int(os.environ.get("GAVIKO_LNL_BLOCK", "256"))
+    block = row_block(rows, "GAVIKO_LNL_BLOCK")
     n_pad = ((rows + block - 1) // block) * block
     xf = x.reshape(rows, dim)
     if n_pad != rows:
@@ -202,8 +203,7 @@ def _ln_linear_bwd(eps, res, g):
         )
         return vjp(g)
     rows = B * N
-    import os
-    block = int(os.environ.get("GAVIKO_LNL_BLOCK", "256"))
+    block = row_block(rows, "GAVIKO_LNL_BLOCK")
     n_pad = ((rows + block - 1) // block) * block
     xf = x.reshape(rows, dim)
     gf = g.reshape(rows, out_dim)
