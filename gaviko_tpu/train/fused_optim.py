@@ -84,10 +84,31 @@ def step(
             v.astype(p.dtype),
         )
 
+    # MEASURED OFF (default): XLA splits the per-leaf chain above into TWO
+    # fusions that re-read g/mu/nu (~10-11 HBM arrays vs the 7-array floor,
+    # round-3 device trace), so a one-pass Pallas leaf kernel
+    # (ops/fused_adam.py) looked like ~0.5 ms of win — but on chip it
+    # REGRESSED the vit-b16 B8 step 45.8 -> 46.9 ms: the split XLA fusions
+    # overlap with neighboring work better than 48 serialized pallas_calls.
+    # Kept behind GAVIKO_PALLAS_ADAM=1 as the documented rejected variant.
+    import os
+    use_pallas = os.environ.get("GAVIKO_PALLAS_ADAM", "0") == "1"
+    if use_pallas:
+        from gaviko_tpu.ops.fused_adam import adam_leaf, adam_leaf_supported
+        scalars = jnp.stack([
+            scale.astype(jnp.float32), jnp.asarray(lr, jnp.float32), c1, c2,
+        ])
+
     # Params are flat dict[str, Array] throughout the framework.
     new_p, new_m, new_v = {}, {}, {}
     for k in grads:
-        new_p[k], new_m[k], new_v[k] = leaf(
-            grads[k], state.mu[k], state.nu[k], params[k]
-        )
+        if use_pallas and adam_leaf_supported(params[k].shape,
+                                              params[k].dtype):
+            new_p[k], new_m[k], new_v[k] = adam_leaf(
+                grads[k], state.mu[k], state.nu[k], params[k], scalars,
+                b1=b1, b2=b2, eps=eps)
+        else:
+            new_p[k], new_m[k], new_v[k] = leaf(
+                grads[k], state.mu[k], state.nu[k], params[k]
+            )
     return new_p, FusedAdamState(count=count, mu=new_m, nu=new_v)

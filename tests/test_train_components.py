@@ -159,3 +159,74 @@ def test_fused_optimizer_pure_bf16_state():
     a, b = np.asarray(p["w"], np.float32), np.asarray(p2["w"], np.float32)
     assert np.isfinite(b).all() and (a != b).any()
     assert int(s2.count) == 1
+
+
+def test_pallas_adam_leaf_matches_xla_leaf():
+    """ops/fused_adam.adam_leaf (the one-pass big-leaf kernel) must be
+    bit-identical to the XLA leaf path in fused_optim.step for both f32
+    and pure-bf16 leaves, including the clip-scale rounding order."""
+    from gaviko_tpu.ops.fused_adam import adam_leaf, adam_leaf_supported
+
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    rng = np.random.RandomState(7)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        shape = (512, 512)
+        assert adam_leaf_supported(shape, dtype)
+        g = jnp.asarray(rng.randn(*shape)).astype(dtype)
+        m = jnp.asarray(0.1 * rng.randn(*shape)).astype(dtype)
+        v = jnp.asarray(np.abs(0.01 * rng.randn(*shape))).astype(dtype)
+        p = jnp.asarray(rng.randn(*shape)).astype(dtype)
+        scale, lr, c1, c2 = 0.37, 3e-4, 0.1, 0.001999
+        scalars = jnp.asarray([scale, lr, c1, c2], jnp.float32)
+        po, mo, vo = adam_leaf(g, m, v, p, scalars, b1=b1, b2=b2, eps=eps)
+
+        gs = g * jnp.asarray(scale, jnp.float32).astype(g.dtype)
+        mr = b1 * m.astype(jnp.float32) + (1 - b1) * gs.astype(jnp.float32)
+        vr = (b2 * v.astype(jnp.float32)
+              + (1 - b2) * jnp.square(gs.astype(jnp.float32)))
+        ur = (mr / c1) / (jnp.sqrt(vr / c2) + eps)
+        pr = p - (lr * ur).astype(p.dtype)
+        assert po.dtype == p.dtype and mo.dtype == p.dtype
+        # FMA contraction differs between the Mosaic and XLA lowerings of
+        # the same expressions (measured 1-2 f32 ULP); one bf16 ULP on top
+        # of that for half-storage leaves.
+        tol = 1e-6 if dtype == jnp.float32 else 1e-2
+        np.testing.assert_allclose(np.asarray(po, np.float32),
+                                   np.asarray(pr, np.float32), atol=tol)
+        np.testing.assert_allclose(
+            np.asarray(mo, np.float32),
+            np.asarray(mr.astype(p.dtype), np.float32), atol=tol)
+        np.testing.assert_allclose(
+            np.asarray(vo, np.float32),
+            np.asarray(vr.astype(p.dtype), np.float32), atol=tol)
+
+
+def test_fused_optimizer_big_leaf_pallas_path(monkeypatch):
+    """fused_optim.step with GAVIKO_PALLAS_ADAM=1 (the measured-off Pallas
+    leaf variant) still matches the optax chain on kernel-eligible leaves."""
+    import optax
+
+    from gaviko_tpu.train import fused_optim
+
+    monkeypatch.setenv("GAVIKO_PALLAS_ADAM", "1")
+
+    rng = np.random.RandomState(3)
+    params = {
+        "big": jnp.asarray(rng.randn(2048, 128).astype(np.float32)),
+        "small": jnp.asarray(rng.randn(9, 13).astype(np.float32)),
+    }
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adam(learning_rate=0.01, eps=1e-8))
+    o = tx.init(params)
+    s = fused_optim.init(params)
+    p_ref = p_fused = params
+    for it in range(3):
+        grads = {k: jnp.asarray(rng.randn(*v.shape).astype(np.float32))
+                 * (10.0 if it % 2 else 0.01) for k, v in params.items()}
+        u, o = tx.update(grads, o, p_ref)
+        p_ref = optax.apply_updates(p_ref, u)
+        p_fused, s = fused_optim.step(grads, s, p_fused, 0.01, clip=1.0,
+                                      eps=1e-8)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(p_ref[k]), np.asarray(p_fused[k]), atol=1e-6)
