@@ -168,12 +168,26 @@ def make_spec(model_cfg: dict) -> ModelSpec:
     # Method-specific defaults mirror the reference ctor signatures.
     kw: dict[str, Any] = {}
     if method == "gaviko":
+        # DHW defaults to the actual patch-grid geometry. The reference
+        # hard-codes (10,10,10) as a ctor default (gaviko.py:348) — correct
+        # only at its 120x160x160 geometry; any other volume crashes deep in
+        # the mask math there. Deriving is identical at reference geometry
+        # and a deliberate divergence elsewhere (PARITY.md). An explicit
+        # config value is validated against the token count up front.
+        grid = (frames // frame_patch_size, ih // ph, iw // pw)
+        dhw = tuple(model_cfg.get("DHW", grid))
+        if dhw[0] * dhw[1] * dhw[2] != grid[0] * grid[1] * grid[2]:
+            raise ValueError(
+                f"model.DHW {dhw} does not match the patch grid {grid} "
+                f"(frames/frame_patch_size, image_size/image_patch_size x2): "
+                f"GAViKO's local attention needs prod(DHW) == token count."
+            )
         kw.update(
             num_prompts=model_cfg.get("num_prompts", 8),
             prompt_latent_dim=model_cfg.get("prompt_latent_dim", 20),
             local_dim=model_cfg.get("local_dim", 20),
             local_k=tuple(model_cfg.get("local_k", (3, 6, 6))),
-            DHW=tuple(model_cfg.get("DHW", (10, 10, 10))),
+            DHW=dhw,
             attn_drop=model_cfg.get("attn_drop", 0.2),
             proj_drop=model_cfg.get("proj_drop", 0.2),
             share_factor=model_cfg.get("share_factor", 1),

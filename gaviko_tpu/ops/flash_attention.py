@@ -256,8 +256,8 @@ def _fused_mhsa_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, ml_ref=None, *,
             o = o * (1.0 / (1.0 - dropout_rate))
             o_ref[:, sl] = (o / l).astype(o_ref.dtype)
             if emit_ml:
-                ml_ref[:, 2 * j:2 * j + 1] = m
-                ml_ref[:, 2 * j + 1:2 * j + 2] = l
+                ml_ref[j, :, 0:1] = m
+                ml_ref[j, :, 1:2] = l
         elif dim_head < 128:
             # Ones-column ride-along: pad V to a full 128-lane tile with ones
             # so one MXU dot returns [o | row-sum] — the row sum rides the
@@ -276,8 +276,8 @@ def _fused_mhsa_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, ml_ref=None, *,
             o = ol[:, :dim_head] / ol[:, dim_head:dim_head + 1]
             o_ref[:, sl] = o.astype(o_ref.dtype)
             if emit_ml:
-                ml_ref[:, 2 * j:2 * j + 1] = m
-                ml_ref[:, 2 * j + 1:2 * j + 2] = ol[:, dim_head:dim_head + 1]
+                ml_ref[j, :, 0:1] = m
+                ml_ref[j, :, 1:2] = ol[:, dim_head:dim_head + 1]
         else:
             l = jnp.sum(p, axis=1, keepdims=True)
             o = jax.lax.dot_general(
@@ -286,8 +286,8 @@ def _fused_mhsa_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, ml_ref=None, *,
             )
             o_ref[:, sl] = (o / l).astype(o_ref.dtype)
             if emit_ml:
-                ml_ref[:, 2 * j:2 * j + 1] = m
-                ml_ref[:, 2 * j + 1:2 * j + 2] = l
+                ml_ref[j, :, 0:1] = m
+                ml_ref[j, :, 1:2] = l
 
 
 def fused_mhsa_supported(heads: int, dim_head: int, N: int) -> bool:
@@ -356,14 +356,19 @@ def _fused_mhsa_forward(qkv, seed, heads, dim_head, scale, n_true,
     o_shape = jax.ShapeDtypeStruct((B, n_pad, inner), qkv.dtype)
     if emit_ml:
         # Per-row softmax stats (m, l) saved for the backward: f32, laid out
-        # (B, nh, n_pad, 2*hp) — lane dim 2*hp == array dim satisfies Mosaic
+        # (B, heads, n_pad, 2) — lane dim 2 == array dim satisfies Mosaic
         # without 128-padding; ~1.5 MB at vit-b16 B8, and the backward then
-        # skips its max- and sum-reductions over the N^2 score block.
+        # skips its max- and sum-reductions over the N^2 score block. The
+        # per-HEAD (not per-head-pair) layout is hp-agnostic (the backward
+        # may group any number of heads per program and still block-index
+        # the same array) and it is FASTER: the old (B, nh, n_pad, 2*hp)
+        # lane-dim-4 layout cost the backward ~0.29 ms/layer in slow
+        # strided (m, l) reads (measured 3.07 -> 2.78 ms/layer at B8).
         out_specs = (o_spec, pl.BlockSpec(
-            (None, None, block_q, 2 * hp), lambda b, h, i: (b, h, i, 0),
+            (None, hp, block_q, 2), lambda b, h, i: (b, h, i, 0),
             memory_space=pltpu.VMEM))
         out_shape = (o_shape, jax.ShapeDtypeStruct(
-            (B, nh, n_pad, 2 * hp), jnp.float32))
+            (B, heads, n_pad, 2), jnp.float32))
     else:
         out_specs, out_shape = o_spec, o_shape
     out = pl.pallas_call(
@@ -441,8 +446,8 @@ def _fused_mhsa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
         s = jax.lax.dot_general(
             qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        m = ml_ref[:, 2 * j:2 * j + 1]
-        l = ml_ref[:, 2 * j + 1:2 * j + 2]
+        m = ml_ref[j, :, 0:1]
+        l = ml_ref[j, :, 1:2]
         ml2 = m + jnp.log2(jnp.maximum(l, 1e-30))
         p = (jnp.exp2(s - ml2 + bias) if bias is not None
              else jnp.exp2(s - ml2))  # [block_q, n_pad] f32
@@ -501,14 +506,19 @@ def _fused_mhsa_bwd(heads, dim_head, scale, n_true, dropout_rate, res, g):
     B, n_pad, three_inner = qkv.shape
     inner = three_inner // 3
     import os
+    # Heads per program: with the per-head saved-stats layout, hp 2/4/6
+    # measured a tie on v5e (2.78-2.79 ms/layer qkv+attn fwd+bwd at B8
+    # vit-b16) — the 3.07 -> 2.78 win came from the (B, heads, n_pad, 2)
+    # ml layout itself (the old lane-dim-2*hp layout read slow). Any
+    # divisor of `heads` with a 128-multiple lane width is valid
+    # (equivalence is tested); keep 2 as the widest-compatible default.
     hp = int(os.environ.get("GAVIKO_BWD_HP", "2"))
-    if heads % hp != 0:
+    if heads % hp != 0 or (hp * dim_head) % 128 != 0:
         hp = 2
     nh = heads // hp
     hd = hp * dim_head
     # Q-blocked: per program, ~3 (block_q, n_pad) f32 buffers + K/V/scratch.
     # Pick block_q so those stay within ~7 MB of the 16 MB VMEM.
-    import os
     bwd_budget = int(os.environ.get("GAVIKO_BWD_VMEM", "7000000"))
     block_q = n_pad
     while 3 * block_q * n_pad * 4 > bwd_budget and block_q % 2 == 0 \
@@ -534,7 +544,7 @@ def _fused_mhsa_bwd(heads, dim_head, scale, n_true, dropout_rate, res, g):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((None, block_q, hd), lambda b, h, i: (b, i, h),
                      memory_space=pltpu.VMEM),  # forward output block
-        pl.BlockSpec((None, None, block_q, 2 * hp),
+        pl.BlockSpec((None, hp, block_q, 2),
                      lambda b, h, i: (b, h, i, 0),
                      memory_space=pltpu.VMEM),  # saved (m, l) rows
     ]

@@ -83,6 +83,29 @@ def test_model_parity_with_flash_default(tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_fused_gradients_hp_agnostic(monkeypatch):
+    """GAVIKO_BWD_HP (heads per backward program) must not change gradients:
+    the saved softmax stats are laid out per-HEAD (B, heads, n_pad, 2), so
+    any hp dividing `heads` block-indexes the same (m, l) rows. Guards the
+    layout contract between _fused_mhsa_forward's emit_ml and the backward
+    (a per-head-PAIR layout here once made hp=4 silently read garbage
+    stats). Dropout on, so the saved-l reconstruction path is exercised."""
+    B, H, D, N = 1, 4, 64, 48
+    inner = H * D
+    rng = np.random.RandomState(4)
+    qkv = jnp.asarray(rng.randn(B, N, 3 * inner).astype(np.float32))
+    seed = jnp.asarray([7], jnp.int32)
+
+    def loss(qkv):
+        return jnp.sum(fused_mhsa(qkv, seed, H, D, 0.125, N, 0.2) ** 2)
+
+    grads = {}
+    for hp in ("2", "4"):
+        monkeypatch.setenv("GAVIKO_BWD_HP", hp)
+        grads[hp] = np.asarray(jax.grad(loss)(qkv))
+    np.testing.assert_allclose(grads["2"], grads["4"], atol=1e-6)
+
+
 def test_supported_predicate():
     assert fused_mhsa_supported(12, 64, 1001)
     assert not fused_mhsa_supported(3, 64, 1001)  # vit-t16 odd heads

@@ -128,3 +128,25 @@ def test_shipped_tpu_yaml_drives_mesh_path(tmp_path):
     # orbax resume state written
     assert os.path.isdir(os.path.join(root, "weights", "experiments",
                                       "gaviko", "resume_state"))
+
+
+def test_gaviko_dhw_derived_and_validated():
+    """GAViKO's DHW defaults to the real patch grid, not the reference's
+    hard-coded (10,10,10) ctor default (ref gaviko.py:348 — crashes at any
+    other geometry); an explicit DHW that disagrees with the grid raises a
+    named error instead of a broadcast failure deep in the mask math."""
+    from gaviko_tpu.config import make_spec
+
+    base = dict(image_size=32, image_patch_size=16, frames=24,
+                frame_patch_size=12, num_classes=5, channels=1, pool="cls",
+                backbone="vit-t16", method="gaviko")
+    assert make_spec(dict(base)).DHW == (2, 2, 2)
+    # Full geometry derives the reference default exactly.
+    full = dict(base, image_size=160, frames=120)
+    assert make_spec(full).DHW == (10, 10, 10)
+    # Reordering the grid is allowed (same token count)...
+    assert make_spec(dict(base, frames=48)).DHW == (4, 2, 2)
+    assert make_spec(dict(base, frames=48, DHW=[2, 4, 2])).DHW == (2, 4, 2)
+    # ...but a wrong token count is a clean ValueError.
+    with pytest.raises(ValueError, match="DHW"):
+        make_spec(dict(base, DHW=[10, 10, 10]))
