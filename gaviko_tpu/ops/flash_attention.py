@@ -43,7 +43,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gaviko_tpu.ops.hash_dropout import keep_mask
+from gaviko_tpu.ops.hash_dropout import (
+    _M1,
+    _ROW,
+    _SALT,
+    _threshold,
+    keep_mask,
+)
 
 LOG2E = float(np.log2(np.e))  # change-of-base for exp->exp2 folding
 
@@ -63,6 +69,81 @@ WHOLE_K_MAX = 2048  # whole-K score block: 2048^2 f32 = 16 MB > VMEM; real cap
 def _use_interpret() -> bool:
     # Compiled on TPU; interpret mode for CPU tests.
     return jax.default_backend() != "tpu"
+
+
+# --- hardware-PRNG dropout bits (compiled TPU path) — MEASURED OFF ---------
+#
+# The portable hash costs 5 VPU int ops per masked element and the training
+# path evaluates it over the N^2 block twice (forward + backward replay).
+# pltpu.prng_random_bits generates bits on the dedicated PRNG unit instead;
+# keep = bits >= threshold is ONE compare. Replay safety: the stream is
+# reseeded per ABSOLUTE row chunk of G rows (G = gcd of the forward and
+# default-backward q-block sizes, so both grids chunk identically), making
+# the bits a pure function of (seed, head salt, absolute row chunk) exactly
+# like the hash. pltpu.prng_* has no CPU interpret-mode lowering, so this
+# path is TPU-compiled-only and opt-in via GAVIKO_DROPOUT_PRNG=1; the hash
+# stays the default and the only path CPU parity tests exercise.
+# On-chip verification: scripts/prng_dropout_probe.py extracts the kernel's
+# bits with the same chunking and checks the XLA-reference forward AND
+# gradients against the compiled kernel under the extracted mask (plus
+# wrong-seed negative control and marginal/pairwise keep-rate stats).
+# A/B on the real chip (vit-b16 fft B8 train, clean host): PRNG is SLOWER —
+# fwd 14.45 vs 13.78 ms, fwd+bwd 41.57 vs 39.88 ms, full step 49.49 vs
+# 48.19 ms. The hash's int ops pipeline under the f32 softmax VPU work,
+# while generation + per-chunk reseeding serializes. Kept opt-in as the
+# measured register entry; the hash stays the default.
+
+_BWD_VMEM_DEFAULT = 7_000_000
+
+
+def _bwd_pick_block_q(n_pad: int, budget: int = _BWD_VMEM_DEFAULT) -> int:
+    """Backward q-block: ~3 (block_q, n_pad) f32 buffers within ``budget``."""
+    block_q = n_pad
+    while 3 * block_q * n_pad * 4 > budget and block_q % 2 == 0 \
+            and (block_q // 2) % 8 == 0:
+        block_q //= 2
+    return block_q
+
+
+def _prng_dropout_requested() -> bool:
+    import os
+
+    return os.environ.get("GAVIKO_DROPOUT_PRNG", "0") == "1" \
+        and not _use_interpret()
+
+
+def _prng_plan(n_pad: int):
+    """-> (use_prng, chunk_rows). Both the forward and the backward call this
+    with the same n_pad, so they agree on the chunk granularity; prng is
+    refused when the backward would take its XLA fallback (which replays the
+    hash and could not match a prng forward)."""
+    if not _prng_dropout_requested():
+        return False, 0
+    bq_bwd = _bwd_pick_block_q(n_pad)
+    if 3 * bq_bwd * n_pad * 4 > 12_000_000:  # bwd falls back to XLA VJP
+        return False, 0
+    import math
+
+    g = math.gcd(_pick_block_q(n_pad, 2), bq_bwd)
+    return True, g
+
+
+def _prng_keep_block(block_q, n_pad, seed, salt, row0, chunk, rate):
+    """In-kernel keep mask from the hardware PRNG, bit-identical for any
+    program whose q-block is a multiple of ``chunk`` rows: each absolute
+    ``chunk``-row span reseeds with a scalar mix of (seed, salt, span index)
+    before generating its (chunk, n_pad) bits."""
+    thr = _threshold(rate)
+    rows = []
+    for ci in range(block_q // chunk):
+        idx = row0 // chunk + ci  # absolute chunk index
+        s = seed + salt * _SALT + idx * _ROW
+        s = (s ^ jax.lax.shift_right_logical(s, 16)) * _M1
+        pltpu.prng_seed(s)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((chunk, n_pad)),
+                             jnp.int32)
+        rows.append(bits >= thr)
+    return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -215,7 +296,7 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 def _fused_mhsa_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, ml_ref=None, *,
                        scale, n_true, hp, dim_head, heads, dropout_rate,
-                       emit_ml=False):
+                       emit_ml=False, prng_chunk=0):
     b, h, qb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     block_q = q_ref.shape[0]
     n_pad = k_ref.shape[0]
@@ -246,8 +327,13 @@ def _fused_mhsa_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, ml_ref=None, *,
             # masking the raw exp, and 1/(1-q) folds into the final scale.
             l = jnp.sum(p, axis=1, keepdims=True)
             salt = b * heads + h * hp + j
-            keep = keep_mask(p.shape, seed_ref[0], dropout_rate, salt=salt,
-                             row_offset=qb * block_q)
+            if prng_chunk:
+                keep = _prng_keep_block(block_q, n_pad, seed_ref[0], salt,
+                                        qb * block_q, prng_chunk,
+                                        dropout_rate)
+            else:
+                keep = keep_mask(p.shape, seed_ref[0], dropout_rate,
+                                 salt=salt, row_offset=qb * block_q)
             p = jnp.where(keep, p, 0.0)
             o = jax.lax.dot_general(
                 p.astype(v_ref.dtype), v_ref[:, sl], (((1,), (0,)), ((), ())),
@@ -371,11 +457,12 @@ def _fused_mhsa_forward(qkv, seed, heads, dim_head, scale, n_true,
             (B, heads, n_pad, 2), jnp.float32))
     else:
         out_specs, out_shape = o_spec, o_shape
+    _, prng_chunk = (_prng_plan(n_pad) if dropout_rate > 0.0 else (False, 0))
     out = pl.pallas_call(
         functools.partial(
             _fused_mhsa_kernel, scale=scale, n_true=n_true, hp=hp,
             dim_head=dim_head, heads=heads, dropout_rate=dropout_rate,
-            emit_ml=emit_ml,
+            emit_ml=emit_ml, prng_chunk=prng_chunk,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -395,7 +482,7 @@ def _fused_mhsa_fwd(qkv, seed, heads, dim_head, scale, n_true, dropout_rate):
 def _fused_mhsa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
                            ml_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
                            *, scale, n_true, hp, dim_head, heads,
-                           dropout_rate):
+                           dropout_rate, prng_chunk=0):
     """Q-blocked attention backward; one (batch, head-pair, q-block) program.
 
     Flash-backward algebra with P recomputed in VMEM from the SAVED forward
@@ -455,9 +542,15 @@ def _fused_mhsa_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
                         keepdims=True)
 
         if dropout_rate > 0.0:
-            keep = keep_mask(p.shape, seed_ref[0], dropout_rate,
-                             salt=b * heads + h * hp + j,
-                             row_offset=qb * block_q)
+            if prng_chunk:
+                keep = _prng_keep_block(block_q, n_pad, seed_ref[0],
+                                        b * heads + h * hp + j,
+                                        qb * block_q, prng_chunk,
+                                        dropout_rate)
+            else:
+                keep = keep_mask(p.shape, seed_ref[0], dropout_rate,
+                                 salt=b * heads + h * hp + j,
+                                 row_offset=qb * block_q)
             p_drop = jnp.where(keep, p * inv_keep, 0.0)
         else:
             p_drop = p
@@ -518,12 +611,15 @@ def _fused_mhsa_bwd(heads, dim_head, scale, n_true, dropout_rate, res, g):
     nh = heads // hp
     hd = hp * dim_head
     # Q-blocked: per program, ~3 (block_q, n_pad) f32 buffers + K/V/scratch.
-    # Pick block_q so those stay within ~7 MB of the 16 MB VMEM.
-    bwd_budget = int(os.environ.get("GAVIKO_BWD_VMEM", "7000000"))
-    block_q = n_pad
-    while 3 * block_q * n_pad * 4 > bwd_budget and block_q % 2 == 0 \
-            and (block_q // 2) % 8 == 0:
-        block_q //= 2
+    # Pick block_q so those stay within ~7 MB of the 16 MB VMEM. In prng
+    # mode the env budget override is ignored: the forward already generated
+    # bits at the default-geometry chunk granularity, and the backward must
+    # block at a multiple of it to replay them.
+    use_prng, prng_chunk = (_prng_plan(n_pad) if dropout_rate > 0.0
+                            else (False, 0))
+    bwd_budget = (_BWD_VMEM_DEFAULT if use_prng
+                  else int(os.environ.get("GAVIKO_BWD_VMEM", "7000000")))
+    block_q = _bwd_pick_block_q(n_pad, bwd_budget)
     if 3 * block_q * n_pad * 4 > 12_000_000:  # degenerate shape: XLA VJP
         return (
             _fused_mhsa_bwd_xla(qkv, seed, g, heads, dim_head, scale, n_true,
@@ -554,6 +650,7 @@ def _fused_mhsa_bwd(heads, dim_head, scale, n_true, dropout_rate, res, g):
         functools.partial(
             _fused_mhsa_bwd_kernel, scale=scale, n_true=n_true, hp=hp,
             dim_head=dim_head, heads=heads, dropout_rate=dropout_rate,
+            prng_chunk=prng_chunk,
         ),
         grid=(B, nh, nq),
         in_specs=specs,

@@ -138,3 +138,24 @@ def test_fused_gradients_with_padding():
     g1 = jax.grad(loss_fused)(qkv)
     g2 = jax.grad(loss_ref)(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-5)
+
+
+def test_prng_flag_inert_on_cpu(monkeypatch):
+    """GAVIKO_DROPOUT_PRNG=1 must be a no-op off-TPU: pltpu.prng_* has no
+    interpret-mode lowering, so the plan helper refuses and the hash path
+    runs — outputs identical to the flag being unset. (The compiled-TPU
+    behavior of the flag is verified on-chip by scripts/
+    prng_dropout_probe.py: mask extraction, fwd/grad replay, stats.)"""
+    B, H, D, N = 1, 4, 64, 48
+    qkv = jnp.asarray(np.random.RandomState(0).randn(
+        B, N, 3 * H * D).astype(np.float32))
+    seed = jnp.asarray([3], jnp.int32)
+
+    def run():
+        return np.asarray(jax.grad(lambda x: jnp.sum(
+            fused_mhsa(x, seed, H, D, 0.125, N, 0.2) ** 2))(qkv))
+
+    base = run()
+    monkeypatch.setenv("GAVIKO_DROPOUT_PRNG", "1")
+    jax.clear_caches()
+    np.testing.assert_array_equal(base, run())
