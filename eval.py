@@ -57,9 +57,12 @@ def evaluate(config: dict) -> dict:
     )
     # pad_to_batch avoids recompiling the eval graph for the ragged final
     # batch; predictions for pad rows are sliced off below via n_valid.
-    loader = Loader(ds, config["data"]["batch_size"], shuffle=False,
-                    num_workers=config["data"].get("num_workers", 8),
-                    pad_to_batch=True)
+    from gaviko_tpu.data.pipeline import pick_loader
+
+    loader = pick_loader(config)(
+        ds, config["data"]["batch_size"], shuffle=False,
+        num_workers=config["data"].get("num_workers", 8),
+        pad_to_batch=True)
 
     model = build_model(config["model"])
     ckpt = config["utils"].get("checkpoint")

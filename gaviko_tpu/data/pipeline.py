@@ -207,3 +207,21 @@ class Loader:
         finally:
             stop.set()
             pool.shutdown(wait=False)
+
+
+def pick_loader(config: dict):
+    """Loader engine from ``data.loader``: "native" (default, the threaded
+    producer above) or "grain" (grain dataset runtime, same stream —
+    data/grain_pipeline.py). Returns a callable with Loader's signature;
+    for grain, ``data.grain_processes`` > 0 selects process workers."""
+    kind = config.get("data", {}).get("loader", "native")
+    if kind == "native":
+        return Loader
+    if kind == "grain":
+        import functools
+
+        from gaviko_tpu.data.grain_pipeline import GrainLoader
+
+        procs = int(config.get("data", {}).get("grain_processes", 0))
+        return functools.partial(GrainLoader, processes=procs)
+    raise ValueError(f"Unknown data.loader: {kind!r} (native | grain)")

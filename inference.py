@@ -38,9 +38,12 @@ def inference(config: dict) -> str:
     ds = dataset_from_dataframe(test_df, T.eval_transform, False)
     # pad_to_batch avoids recompiling the predict graph for the ragged final
     # batch; pad-row predictions are sliced off below via n_valid.
-    loader = Loader(ds, config["data"]["batch_size"], shuffle=False,
-                    num_workers=config["data"].get("num_workers", 8),
-                    pad_to_batch=True)
+    from gaviko_tpu.data.pipeline import pick_loader
+
+    loader = pick_loader(config)(
+        ds, config["data"]["batch_size"], shuffle=False,
+        num_workers=config["data"].get("num_workers", 8),
+        pad_to_batch=True)
 
     model = build_model(config["model"])
     ckpt = config["utils"].get("checkpoint")

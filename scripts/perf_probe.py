@@ -468,10 +468,60 @@ def probe_int8():
     print(f"int8 vs bf16: rel logit MAE {rel:.4f}, argmax agreement {agree:.3f}")
 
 
+def probe_int8_gaviko():
+    """w8a8 on the GAViKO vit-l16 flagship (B8): backbone GEMMs quantize;
+    local attention / prompt projections stay bf16 (no int8 consumer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.models.factory import build_model
+    from gaviko_tpu.ops.int8_linear import quantize_backbone
+
+    cfg = dict(
+        image_size=160, image_patch_size=16, frames=120, frame_patch_size=12,
+        num_classes=5, channels=1, pool="cls", backbone="vit-l16",
+        method="gaviko", freeze_vit=True, num_prompts=32,
+        prompt_latent_dim=20, local_dim=20, local_k=[6, 6, 6],
+        DHW=[10, 10, 10], attn_drop=0.2, proj_drop=0.2, share_factor=1,
+        dropout=0.1, emb_dropout=0.1, gelu="tanh",
+    )
+    model = build_model(cfg)
+    params = jax.tree.map(
+        lambda t: t.astype(jnp.bfloat16),
+        model.init(jax.random.PRNGKey(0), model.spec))
+    GB = 8
+    vol = jnp.asarray(np.random.RandomState(0).rand(GB, 1, 120, 160, 160)
+                      ).astype(jnp.bfloat16)
+
+    def make_chain(p):
+        def chain(p, x):
+            def body(i, c):
+                out = model.apply({**p, "conv_proj.0.bias": c}, x, model.spec)
+                return c + out[0, 0].astype(c.dtype) * jnp.asarray(
+                    1e-30, c.dtype)
+            return jax.lax.fori_loop(0, ITERS, body, p["conv_proj.0.bias"])[0]
+        return chain
+
+    logits = {}
+    for name, p in (("bf16", params),
+                    ("int8", quantize_backbone(params, model.spec.depth))):
+        ms = timeit(jax.jit(make_chain(p)), p, vol)
+        print(f"gaviko-l16 B{GB} [{name}]: {ms:.2f} ms "
+              f"({GB / ms * 1000:.1f} vol/s)")
+        logits[name] = np.asarray(jax.jit(
+            lambda p, x: model.apply(p, x, model.spec))(p, vol),
+            dtype=np.float64)
+    mae = np.mean(np.abs(logits["int8"] - logits["bf16"]))
+    rel = mae / np.mean(np.abs(logits["bf16"]))
+    agree = (logits["int8"].argmax(1) == logits["bf16"].argmax(1)).mean()
+    print(f"int8 vs bf16: rel logit MAE {rel:.4f}, argmax agreement {agree:.3f}")
+
+
 PROBES = {
     "full": probe_full,
     "attn": probe_attn,
     "int8": probe_int8,
+    "int8_gaviko": probe_int8_gaviko,
     "mlp": probe_mlp,
     "qkv": probe_qkv,
     "patchify": probe_patchify,

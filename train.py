@@ -65,10 +65,13 @@ def make_loaders(config: dict):
     # costs an extra XLA compile (minutes through the relay) and breaks
     # in_shardings=P('data') dispatch when train.parallel is enabled. Padded
     # rows carry ignore_index=-100 labels; losses/accuracy skip them.
-    train_loader = Loader(train_ds, bs, shuffle=True, num_workers=nw,
-                          pad_to_batch=True, shard=shard)
-    val_loader = Loader(val_ds, bs, shuffle=False, num_workers=nw,
-                        pad_to_batch=True, shard=shard)
+    from gaviko_tpu.data.pipeline import pick_loader
+
+    loader_cls = pick_loader(config)  # native threads | grain runtime
+    train_loader = loader_cls(train_ds, bs, shuffle=True, num_workers=nw,
+                              pad_to_batch=True, shard=shard)
+    val_loader = loader_cls(val_ds, bs, shuffle=False, num_workers=nw,
+                            pad_to_batch=True, shard=shard)
     return train_loader, val_loader, len(train_ds), len(val_ds)
 
 
