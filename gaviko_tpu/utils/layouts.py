@@ -23,6 +23,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _pinning_enabled() -> bool:
+    """Pinned-layout entries are intermittently REJECTED by the axon relay
+    (INVALID_ARGUMENT after runs that previously succeeded — observed at
+    B32 in the round-3 probe matrix and reproduced at B8 in a real training
+    epoch, where GAVIKO_PINNED=0 cleanly fixed it). The relay identifies
+    itself in platform_version, so pinning defaults OFF there (cost: the
+    in-graph relayout copy, 0.84 ms per B32 batch) and ON for directly
+    attached TPU hosts. GAVIKO_PINNED=1/0 overrides either way."""
+    import os
+
+    env = os.environ.get("GAVIKO_PINNED")
+    if env is not None:
+        return env != "0"
+    global _PIN_DEFAULT
+    if _PIN_DEFAULT is None:
+        version = getattr(jax.devices()[0].client, "platform_version", "")
+        _PIN_DEFAULT = "axon" not in version
+    return _PIN_DEFAULT
+
+
+_PIN_DEFAULT = None
+
+
 def put_volume(x, dtype=None) -> jax.Array:
     """Transfer a host batch to device in row-major (descending) layout.
 
@@ -40,7 +63,8 @@ def put_volume(x, dtype=None) -> jax.Array:
     x = np.asarray(x)
     if dtype is not None and x.dtype != dtype:
         x = x.astype(dtype)
-    if jax.default_backend() != "tpu" or x.ndim < 3:
+    if (jax.default_backend() != "tpu" or x.ndim < 3
+            or not _pinning_enabled()):
         # CPU/interpret runs and low-rank arrays (labels) don't suffer the
         # relayout; plain transfer keeps tests on the default path.
         return jnp.asarray(x)
