@@ -517,8 +517,52 @@ def probe_int8_gaviko():
     print(f"int8 vs bf16: rel logit MAE {rel:.4f}, argmax agreement {agree:.3f}")
 
 
+def probe_batch_sweep():
+    """Per-volume inference throughput vs batch size (vit-b16 bf16).
+
+    The north-star metric is volumes/sec/chip with no mandated batch size —
+    B32 was self-chosen in round 1. Larger batches amortize per-kernel
+    dispatch tails and grid remainders; this sweeps B and reports vol/s so
+    the headline batch can be chosen from measurement. Sweep with
+    GAVIKO_KPAD128=1 (fast Mosaic compile per new geometry), then re-verify
+    the winner with the default exact-stripe patchify.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.models.factory import build_model
+
+    batches = [int(b) for b in (sys.argv[2:] or [32, 48, 64])]
+    cfg = dict(
+        image_size=160, image_patch_size=16, frames=120, frame_patch_size=12,
+        num_classes=5, channels=1, pool="cls", backbone="vit-b16",
+        method="fft", dropout=0.1, emb_dropout=0.1, gelu="tanh",
+    )
+    model = build_model(cfg)
+    params = jax.tree.map(
+        lambda t: t.astype(jnp.bfloat16),
+        model.init(jax.random.PRNGKey(0), model.spec),
+    )
+    for b in batches:
+        vol = jnp.asarray(np.random.RandomState(0).rand(b, 1, 120, 160, 160)
+                          ).astype(jnp.bfloat16)
+
+        def chain(params, x):
+            def body(i, c):
+                out = model.apply({**params, "conv_proj.0.bias": c}, x,
+                                  model.spec)
+                return c + out[0, 0].astype(c.dtype) * jnp.asarray(
+                    1e-30, c.dtype)
+            return jax.lax.fori_loop(
+                0, ITERS, body, params["conv_proj.0.bias"])[0]
+
+        ms = timeit(jax.jit(chain), params, vol)
+        print(f"B{b}: {ms:.2f} ms/batch ({b / ms * 1000:.1f} vol/s)")
+
+
 PROBES = {
     "full": probe_full,
+    "batch_sweep": probe_batch_sweep,
     "attn": probe_attn,
     "int8": probe_int8,
     "int8_gaviko": probe_int8_gaviko,
@@ -533,6 +577,8 @@ PROBES = {
 }
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or list(PROBES)
+    # Numeric argv entries are probe parameters (e.g. batch_sweep's batch
+    # list), not probe names.
+    names = [a for a in sys.argv[1:] if not a.isdigit()] or list(PROBES)
     for name in names:
         PROBES[name]()
