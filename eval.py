@@ -2,148 +2,10 @@
 
     python eval.py --config <yaml> --method <m> --checkpoint <ckpt> --results_dir <dir>
 
-Evaluates on the CSV's ``val`` subset, merges the trainable-only checkpoint
-over vanilla timm-converted weights, reports accuracy / quadratic Cohen's
-kappa / macro-OVR ROC-AUC, and writes the versioned
-``{method}_{backbone}_eval_results_v{N}.csv`` + ``_metrics.txt``.
+Thin shim over :mod:`gaviko_tpu.cli.evaluate` (installed as ``gaviko-eval``).
 """
 
-from __future__ import annotations
-
-import argparse
-import logging
-import os
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-import pandas as pd
-
-from gaviko_tpu.config import METHODS, apply_method_override, load_config
-from gaviko_tpu.utils.layouts import put_volume
-from gaviko_tpu.data import transforms as T
-from gaviko_tpu.data.pipeline import Loader, dataset_from_dataframe, split_dataframe
-from gaviko_tpu.models.factory import build_model
-from gaviko_tpu.models.pretrained import build_params
-from gaviko_tpu.train.loop import make_steps, split_params
-from gaviko_tpu.train.losses import make_criterion
-from gaviko_tpu.train.metrics import (
-    accuracy,
-    cohen_kappa_quadratic,
-    roc_auc_ovr_macro,
-)
-from gaviko_tpu.utils.logging import setup_logging
-from gaviko_tpu.utils.compile_cache import enable_compilation_cache
-
-enable_compilation_cache()  # persistent XLA cache: repeat runs skip the relay compile
-
-
-def versioned_path(results_dir: str, base: str) -> str:
-    version = 1
-    while True:
-        name = base.format(version=version)
-        path = os.path.join(results_dir, name)
-        if not os.path.exists(path):
-            return path
-        version += 1
-
-
-def evaluate(config: dict) -> dict:
-    logging.info(f"Devices: {jax.devices()}")
-    df = pd.read_csv(config["data"]["data_path"])
-    valid_df = split_dataframe(df, "val")
-    ds = dataset_from_dataframe(
-        valid_df, T.eval_transform, False, config["data"].get("image_folder")
-    )
-    # pad_to_batch avoids recompiling the eval graph for the ragged final
-    # batch; predictions for pad rows are sliced off below via n_valid.
-    from gaviko_tpu.data.pipeline import pick_loader
-
-    loader = pick_loader(config)(
-        ds, config["data"]["batch_size"], shuffle=False,
-        num_workers=config["data"].get("num_workers", 8),
-        pad_to_batch=True)
-
-    model = build_model(config["model"])
-    ckpt = config["utils"].get("checkpoint")
-    if ckpt and not os.path.exists(ckpt):
-        raise FileNotFoundError(
-            f"Model weights not found at {ckpt}. Please check the path."
-        )
-    if not ckpt:
-        logging.info(
-            f"Model path is not provided. {config['model']['method']} weights "
-            f"are initialized randomly."
-        )
-    params = build_params(
-        model, jax.random.PRNGKey(0),
-        pretrained_dir=config["model"].get("pretrained_dir", "./pretrained"),
-        checkpoint_path=ckpt,
-    )
-    trainable, frozen = split_params(model, params)
-    import optax
-
-    _, eval_step, _ = make_steps(
-        model, make_criterion(config["train"]), optax.identity()
-    )
-
-    y_test, y_pred, y_proba = [], [], []
-    for inputs, labels, n_valid in loader:
-        _, _, logits = eval_step(trainable, frozen, put_volume(inputs), jnp.asarray(labels))
-        logits = np.asarray(logits)[:n_valid]
-        y_test.extend(labels[:n_valid].tolist())
-        y_pred.extend(np.argmax(logits, axis=1).tolist())
-        p = np.exp(logits - logits.max(-1, keepdims=True))
-        y_proba.extend((p / p.sum(-1, keepdims=True)).tolist())
-
-    y_test = np.asarray(y_test)
-    y_pred = np.asarray(y_pred)
-    y_proba = np.asarray(y_proba)
-    test_acc = accuracy(y_test, y_pred)
-    test_qkv = cohen_kappa_quadratic(y_test, y_pred)
-    test_auc = roc_auc_ovr_macro(y_test, y_proba)
-    logging.info(f"Test Accuracy: {test_acc}")
-    logging.info(f"Test Quadratic Kappa: {test_qkv}")
-    logging.info(f"Test AUC: {test_auc}")
-
-    out_df = valid_df.copy()
-    out_df["outputs"] = y_pred.tolist()
-    out_df["mri_path"] = out_df["mri_path"].apply(os.path.basename)
-    out_df = out_df[["mri_path", "outputs"]]
-
-    results_dir = config["utils"]["results_dir"]
-    os.makedirs(results_dir, exist_ok=True)
-    backbone = config["model"]["backbone"].replace("-", "_")
-    csv_path = versioned_path(
-        results_dir,
-        f"{config['model']['method']}_{backbone}_eval_results_v{{version}}.csv",
-    )
-    out_df.to_csv(csv_path, index=False)
-    logging.info(f"Results saved to {csv_path}")
-    with open(csv_path.replace(".csv", "") + "_metrics.txt", "w") as f:
-        f.write(f"Test Accuracy: {test_acc}\n")
-        f.write(f"Test Quadratic Kappa: {test_qkv}\n")
-        f.write(f"Test AUC: {test_auc}\n")
-    return {"accuracy": test_acc, "kappa": test_qkv, "auc": test_auc, "csv": csv_path}
-
-
-def main():
-    parser = argparse.ArgumentParser(description="Inference script for Gaviko model")
-    parser.add_argument("--config", type=str, required=True)
-    parser.add_argument("--results_dir", type=str, default="./outputs")
-    parser.add_argument("--checkpoint", type=str, required=False)
-    parser.add_argument("--method", type=str, default="gaviko", choices=list(METHODS))
-    args = parser.parse_args()
-
-    config = load_config(args.config)
-    apply_method_override(config, args.method)
-    config["utils"]["results_dir"] = args.results_dir or config["utils"].get("results_dir")
-    config["utils"]["checkpoint"] = args.checkpoint
-    os.makedirs(config["utils"]["results_dir"], exist_ok=True)
-    setup_logging(log_dir=config["utils"]["results_dir"])
-    logging.info(f"Config: {config}")
-    evaluate(config)
-
+from gaviko_tpu.cli.evaluate import evaluate, main, versioned_path  # noqa: F401
 
 if __name__ == "__main__":
     main()

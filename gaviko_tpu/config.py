@@ -45,6 +45,18 @@ def mapping_vit(backbone: Optional[str]) -> Tuple[int, int, int, int]:
 
 
 def load_config(path: str) -> dict:
+    """Load a YAML config. A path that doesn't exist on disk is retried
+    against the packaged ``gaviko_tpu/configs/`` directory (by basename), so
+    installed console scripts work outside a checkout:
+    ``gaviko-train --config gaviko.yaml``."""
+    import os
+
+    if not os.path.exists(path):
+        packaged = os.path.join(
+            os.path.dirname(__file__), "configs", os.path.basename(path)
+        )
+        if os.path.exists(packaged):
+            path = packaged
     with open(path) as f:
         return yaml.safe_load(f)
 

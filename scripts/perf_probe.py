@@ -560,9 +560,63 @@ def probe_batch_sweep():
         print(f"B{b}: {ms:.2f} ms/batch ({b / ms * 1000:.1f} vol/s)")
 
 
+def probe_train_batch_sweep():
+    """Train-step throughput vs batch size (bench-exact chain: pure bf16,
+    fused clip+Adam, dropout on).
+
+    The optimizer pass (~2.1 ms) and per-kernel dispatch tails are batch-
+    independent, so larger batches should amortize them; attention/MLP FLOPs
+    scale linearly. Reports vol/s per B so a max-throughput production train
+    batch can be chosen from measurement (the B8 bench figure mirrors the
+    reference's batch size, which was a GPU-memory choice, not a throughput
+    one). Sweep with GAVIKO_KPAD128=1 first (fast Mosaic compile per new
+    geometry), re-verify the winner on the default exact stripes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.models.factory import build_model
+    from gaviko_tpu.train import fused_optim
+    from gaviko_tpu.train.losses import focal_loss
+
+    batches = [int(b) for b in (sys.argv[2:] or [8, 16, 32])]
+    cfg = dict(
+        image_size=160, image_patch_size=16, frames=120, frame_patch_size=12,
+        num_classes=5, channels=1, pool="cls", backbone="vit-b16",
+        method="fft", dropout=0.1, emb_dropout=0.1, gelu="tanh",
+    )
+    model = build_model(cfg)
+    params = jax.tree.map(
+        lambda t: t.astype(jnp.bfloat16),
+        model.init(jax.random.PRNGKey(0), model.spec),
+    )
+    opt_state = fused_optim.init(params)
+    key = jax.random.PRNGKey(1)
+    rng = np.random.RandomState(0)
+    for b in batches:
+        vol = jnp.asarray(rng.rand(b, 1, 120, 160, 160)).astype(jnp.bfloat16)
+        labels = jnp.asarray(rng.randint(0, 5, size=b).astype(np.int32))
+
+        def loss_fn(p, step_rng):
+            logits = model.apply(p, vol, model.spec, train=True, rng=step_rng)
+            return focal_loss(logits.astype(jnp.float32), labels, gamma=1.2)
+
+        def chain(params, opt_state):
+            def body(i, carry):
+                p, o = carry
+                grads = jax.grad(loss_fn)(p, jax.random.fold_in(key, i))
+                return fused_optim.step(grads, o, p, 3e-4, clip=1.0, eps=1e-4)
+            p, _ = jax.lax.fori_loop(0, ITERS, body, (params, opt_state))
+            return jax.tree.leaves(p)[0].astype(jnp.float32).reshape(-1)[0]
+
+        ms = timeit(jax.jit(chain), params, opt_state)
+        print(f"B{b}: {ms:.2f} ms/step ({b / ms * 1000:.1f} vol/s)")
+
+
 PROBES = {
     "full": probe_full,
     "batch_sweep": probe_batch_sweep,
+    "train_batch_sweep": probe_train_batch_sweep,
     "attn": probe_attn,
     "int8": probe_int8,
     "int8_gaviko": probe_int8_gaviko,

@@ -2,62 +2,11 @@
 
     python serve.py --config <yaml> --method <m> --checkpoint <ckpt> --port 8477
 
+Thin shim over :mod:`gaviko_tpu.cli.serve` (installed as ``gaviko-serve``).
 POST an .npz body (key ``data``, shape (D, H, W)) to /predict; GET /healthz.
 """
 
-from __future__ import annotations
-
-import argparse
-import logging
-
-from gaviko_tpu.config import METHODS, apply_method_override, load_config
-from gaviko_tpu.serving import Predictor, serve
-from gaviko_tpu.utils.logging import setup_logging
-from gaviko_tpu.utils.compile_cache import enable_compilation_cache
-
-enable_compilation_cache()  # persistent XLA cache: repeat runs skip the relay compile
-
-
-def main():
-    parser = argparse.ArgumentParser(description="Serve a gaviko-tpu model")
-    parser.add_argument("--config", type=str, required=True)
-    parser.add_argument("--method", type=str, default="gaviko", choices=list(METHODS))
-    parser.add_argument("--checkpoint", type=str, default=None)
-    parser.add_argument("--host", type=str, default="127.0.0.1")
-    parser.add_argument("--port", type=int, default=8477)
-    parser.add_argument("--batch_size", type=int, default=8)
-    parser.add_argument("--dtype", type=str, default="bfloat16",
-                        choices=["bfloat16", "float32"])
-    parser.add_argument("--quantize", type=str, default=None,
-                        choices=["int8"],
-                        help="opt-in w8a8 backbone GEMMs (serving only)")
-    parser.add_argument("--mesh", type=str, default=None,
-                        help="mesh-parallel inference 'data,tp' (e.g. 2,4)")
-    parser.add_argument("--auth_token", type=str, default=None,
-                        help="require 'Authorization: Bearer <token>' on POSTs")
-    parser.add_argument("--checkpoint_dir", type=str, default=None,
-                        help="restrict /reload to checkpoints under this dir")
-    parser.add_argument("--max_body_mb", type=int, default=128,
-                        help="reject POST bodies above this size")
-    args = parser.parse_args()
-
-    config = load_config(args.config)
-    apply_method_override(config, args.method)
-    setup_logging(log_dir=config["utils"]["log_dir"])
-    predictor = Predictor(
-        config, checkpoint=args.checkpoint, batch_size=args.batch_size,
-        dtype=args.dtype,
-        pretrained_dir=config["model"].get("pretrained_dir", "./pretrained"),
-        quantize=args.quantize,
-        mesh_shape=tuple(int(x) for x in args.mesh.split(","))
-        if args.mesh else None,
-    )
-    serve(
-        predictor, host=args.host, port=args.port,
-        auth_token=args.auth_token, checkpoint_dir=args.checkpoint_dir,
-        max_body_bytes=args.max_body_mb * 1024 * 1024,
-    ).serve_forever()
-
+from gaviko_tpu.cli.serve import main  # noqa: F401
 
 if __name__ == "__main__":
     main()
