@@ -107,7 +107,7 @@ def bench_infer_b16():
     return INFER_BATCH / dt, INFER_BATCH / dt_q
 
 
-def bench_train_b16():
+def bench_train_b16(batch=TRAIN_BATCH):
     import jax
     import jax.numpy as jnp
 
@@ -129,8 +129,8 @@ def bench_train_b16():
     params = _bf16_params(jax, jnp, model.init(jax.random.PRNGKey(0), model.spec))
     opt_state = fused_optim.init(params)
     rng = np.random.RandomState(0)
-    vol = jnp.asarray(rng.rand(TRAIN_BATCH, 1, 120, 160, 160)).astype(jnp.bfloat16)
-    labels = jnp.asarray(rng.randint(0, 5, size=TRAIN_BATCH).astype(np.int32))
+    vol = jnp.asarray(rng.rand(batch, 1, 120, 160, 160)).astype(jnp.bfloat16)
+    labels = jnp.asarray(rng.randint(0, 5, size=batch).astype(np.int32))
     key = jax.random.PRNGKey(1)
 
     def loss_fn(p, step_rng):
@@ -146,7 +146,7 @@ def bench_train_b16():
         return jax.tree.leaves(p)[0].astype(jnp.float32).reshape(-1)[0]
 
     dt = _timeit(jax.jit(chain), params, opt_state)
-    return TRAIN_BATCH / dt
+    return batch / dt
 
 
 def bench_gaviko_l16():
@@ -241,6 +241,12 @@ def bench_logit_mae():
 def main():
     infer, infer_int8 = bench_infer_b16()
     train = bench_train_b16()
+    # Throughput-optimal train batch: the optimizer pass and per-kernel
+    # dispatch tails are batch-independent, so B16 peaks the sweep
+    # (B8 172 / B16 185 / B32 181 vol/s — perf_probe.py train_batch_sweep).
+    # B8 above stays the headline train row (the reference's batch size);
+    # this row records what the chip delivers when batch is free to float.
+    train16 = bench_train_b16(batch=16)
     gaviko = bench_gaviko_l16()
     logit_mae = bench_logit_mae()
     print(json.dumps({
@@ -254,6 +260,13 @@ def main():
                 "value": round(train, 1),
                 "unit": "volumes/sec/chip",
                 "vs_baseline": round(train / TARGET_TRAIN, 3),
+            },
+            {
+                "metric": "vit-b16 fft train-step throughput at the "
+                          "throughput-optimal batch (bf16 compute, batch 16)",
+                "value": round(train16, 1),
+                "unit": "volumes/sec/chip",
+                "vs_baseline": round(train16 / TARGET_TRAIN, 3),
             },
             {
                 "metric": "GAViKO vit-l16 inference throughput (bf16, batch 8)",

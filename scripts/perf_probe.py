@@ -613,10 +613,65 @@ def probe_train_batch_sweep():
         print(f"B{b}: {ms:.2f} ms/step ({b / ms * 1000:.1f} vol/s)")
 
 
+def probe_train_gaviko():
+    """GAViKO vit-l16 PEFT train step (the reference's flagship training
+    workload: gaviko.yaml trains GAViKO on a frozen vit-l16 backbone at
+    batch 4). Frozen params take no grads/optimizer state — the torch
+    analog of requires_grad=False. Sweeps batch sizes from argv (default
+    4 8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.models.factory import build_model
+    from gaviko_tpu.train import fused_optim
+    from gaviko_tpu.train.loop import split_params
+    from gaviko_tpu.train.losses import focal_loss
+
+    batches = [int(b) for b in (sys.argv[2:] or [4, 8])]
+    cfg = dict(
+        image_size=160, image_patch_size=16, frames=120, frame_patch_size=12,
+        num_classes=5, channels=1, pool="cls", backbone="vit-l16",
+        method="gaviko", freeze_vit=True, num_prompts=32,
+        prompt_latent_dim=20, local_dim=20, local_k=[6, 6, 6],
+        DHW=[10, 10, 10], attn_drop=0.2, proj_drop=0.2, share_factor=1,
+        dropout=0.1, emb_dropout=0.1, gelu="tanh",
+    )
+    model = build_model(cfg)
+    params = jax.tree.map(
+        lambda t: t.astype(jnp.bfloat16),
+        model.init(jax.random.PRNGKey(0), model.spec),
+    )
+    trainable, frozen = split_params(model, params)
+    print(f"trainable leaves: {len(trainable)}, frozen: {len(frozen)}")
+    opt_state = fused_optim.init(trainable)
+    key = jax.random.PRNGKey(1)
+    rng = np.random.RandomState(0)
+    for b in batches:
+        vol = jnp.asarray(rng.rand(b, 1, 120, 160, 160)).astype(jnp.bfloat16)
+        labels = jnp.asarray(rng.randint(0, 5, size=b).astype(np.int32))
+
+        def loss_fn(t, step_rng):
+            logits = model.apply({**frozen, **t}, vol, model.spec,
+                                 train=True, rng=step_rng)
+            return focal_loss(logits.astype(jnp.float32), labels, gamma=1.2)
+
+        def chain(trainable, opt_state):
+            def body(i, carry):
+                t, o = carry
+                grads = jax.grad(loss_fn)(t, jax.random.fold_in(key, i))
+                return fused_optim.step(grads, o, t, 3e-4, clip=1.0, eps=1e-4)
+            t, _ = jax.lax.fori_loop(0, ITERS, body, (trainable, opt_state))
+            return jax.tree.leaves(t)[0].astype(jnp.float32).reshape(-1)[0]
+
+        ms = timeit(jax.jit(chain), trainable, opt_state)
+        print(f"B{b}: {ms:.2f} ms/step ({b / ms * 1000:.1f} vol/s)")
+
+
 PROBES = {
     "full": probe_full,
     "batch_sweep": probe_batch_sweep,
     "train_batch_sweep": probe_train_batch_sweep,
+    "train_gaviko": probe_train_gaviko,
     "attn": probe_attn,
     "int8": probe_int8,
     "int8_gaviko": probe_int8_gaviko,
