@@ -135,7 +135,13 @@ def main():
         config["train"]["resume"] = args.resume
     setup_logging(log_dir=config["utils"]["log_dir"])
     logging.info(f"Config: {config}")
-    train(config)
+    result = train(config)
+    if result.get("preempted"):
+        # SIGTERM/SIGINT landed mid-run; state is saved (train/preemption.py).
+        logging.info(
+            "Preempted cleanly. Continue with: %s --config %s --method %s "
+            "--resume auto", parser.prog, args.config, args.method,
+        )
 
 
 if __name__ == "__main__":

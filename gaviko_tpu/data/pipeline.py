@@ -111,18 +111,40 @@ class Loader:
                 "batch_size divisible by process_count"
             )
         self._epoch = 0
+        self._skip_next = 0
 
     def __len__(self) -> int:
         return (len(self.ds) + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle/augmentation RNG epoch (torch's
+        ``DistributedSampler.set_epoch`` analog). The training loop calls
+        this each epoch so the batch order is a function of the TRUE epoch
+        number — a run resumed at epoch E replays exactly the stream the
+        uninterrupted run would have seen (without it, a fresh process
+        restarts the internal counter at 0)."""
+        self._epoch = int(epoch)
+
+    def skip_batches(self, k: int) -> None:
+        """Drop the first ``k`` batches of the NEXT epoch only — mid-epoch
+        preemption resume: the consumed prefix is never loaded again (skipping
+        happens on index lists, before any npz IO). Per-sample augmentation
+        RNG is keyed by (epoch_seed, global dataset index), so the surviving
+        batches are bit-identical to positions k.. of the full epoch."""
+        self._skip_next = int(k)
 
     def _batches(self) -> List[np.ndarray]:
         idx = np.arange(len(self.ds))
         if self.shuffle:
             np.random.RandomState(self.seed + self._epoch).shuffle(idx)
-        return [
+        out = [
             idx[i : i + self.batch_size]
             for i in range(0, len(idx), self.batch_size)
         ]
+        if self._skip_next:
+            out = out[self._skip_next:]
+            self._skip_next = 0
+        return out
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], int]]:
         batches = self._batches()

@@ -34,6 +34,7 @@ import optax
 from gaviko_tpu.models.factory import Model
 from gaviko_tpu.train import schedule as schedule_lib
 from gaviko_tpu.train.losses import make_criterion
+from gaviko_tpu.train.preemption import PreemptionGuard
 from gaviko_tpu.utils.layouts import put_volume
 from gaviko_tpu.utils.logging import (
     TRAIN_LOG_FIELDS,
@@ -174,7 +175,18 @@ def make_steps(model: Model, criterion, tx, compute_dtype=jnp.float32,
 
 def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: str):
     """The epoch orchestration (ref: train.py:80-504). ``loaders`` is
-    (train_loader, val_loader, train_len, val_len)."""
+    (train_loader, val_loader, train_len, val_len).
+
+    Runs under a :class:`PreemptionGuard`: SIGTERM/SIGINT checkpoint the full
+    train state at the next step boundary (mid-epoch, with the intra-epoch
+    step index) and return with ``result["preempted"] = True``; a rerun with
+    ``train.resume: auto`` continues from the exact next batch."""
+    with PreemptionGuard() as guard:
+        return _run_training(config, model, params, loaders, time_stamp, guard)
+
+
+def _run_training(config: dict, model: Model, params: Dict, loaders,
+                  time_stamp: str, guard: PreemptionGuard):
     train_loader, val_loader, train_len, val_len = loaders
     train_cfg = dict(config["train"])
     train_cfg.setdefault("fp16", config["model"].get("fp16", False))
@@ -266,10 +278,12 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
     patience = train_cfg["patience"]
     current_epoch = 0
     start_epoch = 0
+    resume_skip = 0  # batches of start_epoch already consumed pre-preemption
     val_acc = val_loss = train_acc = train_loss = 0.0
     val_step_acc = val_step_loss = train_step_acc = train_step_loss = 0.0
     train_step_n = val_step_n = 0
     flops_done = False
+    batch_bytes_set = False
     best_ckpt_path = None
     global_step = 0
 
@@ -296,7 +310,13 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
         val_acc_max = meta["best_val_acc"]
         best_epoch = meta["best_epoch"]
         epoch_since_improvement = meta["epoch_since_improvement"]
-        logging.info(f"Resumed from {resume_path} at epoch {start_epoch}")
+        # Preemption states carry the intra-epoch step index; epoch-boundary
+        # states (and pre-preemption checkpoints) default to 0.
+        resume_skip = int(meta.get("step_in_epoch", 0) or 0)
+        logging.info(
+            f"Resumed from {resume_path} at epoch {start_epoch}"
+            + (f", step {resume_skip}" if resume_skip else "")
+        )
 
     from gaviko_tpu.train.schedule import onecycle_cos_host
 
@@ -325,13 +345,56 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
 
             wandb.log(payload, step=step)
 
+    def _save_resume(epoch_done: int, step_in_epoch: int = 0):
+        """Full train state (params+opt+progress). ``step_in_epoch`` > 0
+        marks a mid-epoch preemption state; 0 is an epoch boundary."""
+        if not train_cfg.get("save_resume_state", True):
+            return None
+        from gaviko_tpu.utils.checkpoint import (
+            save_train_state,
+            save_train_state_orbax,
+        )
+
+        os.makedirs(resume_dir, exist_ok=True)
+        saver = save_train_state_orbax if ckpt_backend == "orbax" else save_train_state
+        path = os.path.join(resume_dir, resume_name)
+        saver(
+            path,
+            {k: np.asarray(v) for k, v in trainable.items()},
+            jax.tree.map(np.asarray, opt_state),
+            meta={
+                "epoch": epoch_done,
+                "step_in_epoch": step_in_epoch,
+                "global_step": global_step,
+                "best_val_acc": val_acc_max,
+                "best_epoch": best_epoch,
+                "epoch_since_improvement": epoch_since_improvement,
+            },
+        )
+        return path
+
+    preempted = False
     for epoch in range(start_epoch, num_epochs):
         t_epoch = time.time()
+        # Resume-exact data order: shuffle/augment RNG follows the TRUE epoch
+        # number (Loader.set_epoch), so a resumed run replays the stream the
+        # uninterrupted run would have produced.
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(epoch)
+        skip = resume_skip if epoch == start_epoch else 0
+        if skip and hasattr(train_loader, "skip_batches"):
+            train_loader.skip_batches(min(skip, len(train_loader)))
+            logging.info(
+                f"Mid-epoch resume: skipping {skip} already-trained batches "
+                f"of epoch {epoch}"
+            )
+        elif skip:
+            skip = 0  # loader can't fast-forward; re-run the epoch fully
         # Metric scalars stay on device during the hot loop; the only
         # per-step host work is dispatch, so H2D/compute pipeline freely
         # (per-step float() syncs would stall ~25 ms each on this relay).
         step_stats = []  # (loss_dev, correct_dev, batch_size)
-        for index, (inputs, labels, n_valid) in enumerate(train_loader):
+        for index, (inputs, labels, n_valid) in enumerate(train_loader, start=skip):
             memory_logger.index = index
             memory_logger.display_before_forward_pass()
             if global_step == prof_start:
@@ -347,8 +410,9 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
             inputs = put_volume(inputs)
             labels = jnp.asarray(labels)
             memory_logger.display_after_moving_data_to_gpu()
-            if index == 0 and epoch == start_epoch:
+            if not batch_bytes_set:
                 memory_logger.set_sizes(batch_bytes=int(inputs.nbytes))
+                batch_bytes_set = True
             trainable, opt_state, loss, correct = train_step(
                 trainable, opt_state, frozen, inputs, labels, step_rng
             )
@@ -366,12 +430,26 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
                 jax.tree.leaves(trainable)[0].block_until_ready()
                 jax.profiler.stop_trace()
                 logging.info("Profiler trace stopped")
+            if guard.preempted:
+                break
+        if guard.preempted:
+            # Mid-epoch preemption: the in-flight step finished; save state
+            # pointing at the next unconsumed batch. (This partial epoch's
+            # CSV rows are dropped — progress state, not logs, is the
+            # recovery contract.)
+            path = _save_resume(epoch, skip + len(step_stats))
+            logging.info(
+                "Preempted at epoch %d step %d — resume state saved to %s",
+                epoch, skip + len(step_stats), path,
+            )
+            preempted = True
+            break
         losses, corrects = _gather_stats(step_stats)
         current_lr = sched_host(max(global_step - 1, 0))
         num_acc = 0.0
         running_loss = 0.0
         for index, ((loss_v, correct_v), (_, _, bs)) in enumerate(
-            zip(zip(losses, corrects), step_stats)
+            zip(zip(losses, corrects), step_stats), start=skip
         ):
             running_loss += loss_v * bs
             num_acc += correct_v
@@ -488,32 +566,25 @@ def run_training(config: dict, model: Model, params: Dict, loaders, time_stamp: 
             f"val loss {val_loss:.4f} val acc {val_acc*100:.2f}%"
         )
 
-        if train_cfg.get("save_resume_state", True):
-            from gaviko_tpu.utils.checkpoint import (
-                save_train_state,
-                save_train_state_orbax,
-            )
+        _save_resume(current_epoch)
+        if guard.preempted:
+            # Signal arrived during validation/bookkeeping: the epoch is
+            # complete and its boundary state is saved; stop before the next.
+            logging.info("Preempted at the epoch %d boundary.", epoch)
+            preempted = True
+            break
 
-            os.makedirs(resume_dir, exist_ok=True)
-            saver = save_train_state_orbax if ckpt_backend == "orbax" else save_train_state
-            saver(
-                os.path.join(resume_dir, resume_name),
-                {k: np.asarray(v) for k, v in trainable.items()},
-                jax.tree.map(np.asarray, opt_state),
-                meta={
-                    "epoch": current_epoch,
-                    "global_step": global_step,
-                    "best_val_acc": val_acc_max,
-                    "best_epoch": best_epoch,
-                    "epoch_since_improvement": epoch_since_improvement,
-                },
-            )
-
-    logging.info("Training completed.")
+    if preempted:
+        logging.info(
+            "Training preempted — rerun with `--resume auto` to continue."
+        )
+    else:
+        logging.info("Training completed.")
     return {
         "best_val_acc": val_acc_max,
         "best_epoch": best_epoch,
         "best_ckpt_path": best_ckpt_path,
         "params": {**frozen, **trainable},
         "csv_log": csv_logger.get_file_path(),
+        "preempted": preempted,
     }
