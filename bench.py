@@ -1,7 +1,12 @@
 """Benchmarks: vit-b16 inference (headline) + vit-b16 train + GAViKO vit-l16.
 
 Workloads (BASELINE.md "workload shape", (1, 120, 160, 160) volumes):
-- headline: vit-b16 inference, bf16, batch 32 — 1000 patches + cls, 12 layers.
+- headline: vit-b16 inference, bf16, batch 64 — 1000 patches + cls, 12 layers.
+  The north star is volumes/sec/chip with no mandated batch; B64 is the
+  measured throughput-optimal batch (round-3 sweep with the CLS-fast last
+  layer: B32 743.5 / B64 754.6 vol/s — larger batches amortize per-kernel
+  tails; B48 loses to grid remainders). B32, the batch rounds 1-2
+  self-chose, stays as an extra row for cross-round comparability.
 - train: vit-b16 full-fine-tune (``fft``) train step at batch 8 — forward with
   dropout + backward + global-norm clip + Adam, pure bf16 (params, grads and
   Adam moments, eps 1e-4) — the TPU analog of the reference's primary
@@ -38,7 +43,8 @@ from gaviko_tpu.utils.compile_cache import enable_compilation_cache
 
 enable_compilation_cache()  # repeat bench runs skip the relay compile
 
-INFER_BATCH = 32
+INFER_BATCH = 64       # headline: throughput-optimal batch (see sweep note)
+INFER_BATCH_REF = 32   # rounds-1/2 self-chosen batch, kept for comparability
 TRAIN_BATCH = 8
 GAVIKO_BATCH = 8
 ITERS = 50  # amortizes the ~25 ms axon dispatch to <0.2% of a measurement
@@ -60,7 +66,7 @@ def _timeit(fn, *args):
     return (time.time() - t0) / ITERS
 
 
-def bench_infer_b16():
+def bench_infer_b16(batch=INFER_BATCH, with_int8=True):
     import jax
     import jax.numpy as jnp
 
@@ -77,7 +83,7 @@ def bench_infer_b16():
     model = build_model(cfg)
     params = _bf16_params(jax, jnp, model.init(jax.random.PRNGKey(0), model.spec))
     vol = jnp.asarray(
-        np.random.RandomState(0).rand(INFER_BATCH, 1, 120, 160, 160)
+        np.random.RandomState(0).rand(batch, 1, 120, 160, 160)
     ).astype(jnp.bfloat16)
 
     def chain(params, x):
@@ -95,6 +101,8 @@ def bench_infer_b16():
         return jax.lax.fori_loop(0, ITERS, body, params["conv_proj.0.bias"])[0]
 
     dt = _timeit(jax.jit(chain), params, vol)
+    if not with_int8:
+        return batch / dt
 
     # Opt-in w8a8 serving mode on the same model/chain (serve.py --quantize
     # int8): int8 MXU GEMMs with in-kernel dynamic activation quant. The
@@ -104,7 +112,7 @@ def bench_infer_b16():
 
     q = quantize_backbone(params, model.spec.depth)
     dt_q = _timeit(jax.jit(chain), q, vol)
-    return INFER_BATCH / dt, INFER_BATCH / dt_q
+    return batch / dt, batch / dt_q
 
 
 def bench_train_b16(batch=TRAIN_BATCH):
@@ -240,6 +248,9 @@ def bench_logit_mae():
 
 def main():
     infer, infer_int8 = bench_infer_b16()
+    # Rounds 1-2 benched at B32; keep that row so the cross-round series
+    # stays an apples-to-apples comparison (B64 is the measured optimum).
+    infer_ref = bench_infer_b16(batch=INFER_BATCH_REF, with_int8=False)
     train = bench_train_b16()
     # Throughput-optimal train batch: the optimizer pass and per-kernel
     # dispatch tails are batch-independent, so B16 peaks the sweep
@@ -250,11 +261,19 @@ def main():
     gaviko = bench_gaviko_l16()
     logit_mae = bench_logit_mae()
     print(json.dumps({
-        "metric": "vit-b16 MRI inference throughput (120x160x160, bf16, batch 32)",
+        "metric": "vit-b16 MRI inference throughput (120x160x160, bf16, "
+                  "batch 64 = measured throughput-optimal)",
         "value": round(infer, 1),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(infer / TARGET_INFER, 3),
         "extra": [
+            {
+                "metric": "vit-b16 inference throughput at batch 32 (the "
+                          "rounds-1/2 batch, for cross-round comparability)",
+                "value": round(infer_ref, 1),
+                "unit": "volumes/sec/chip",
+                "vs_baseline": round(infer_ref / TARGET_INFER, 3),
+            },
             {
                 "metric": "vit-b16 fft train-step throughput (bf16 compute, batch 8)",
                 "value": round(train, 1),
@@ -276,7 +295,7 @@ def main():
             },
             {
                 "metric": "vit-b16 inference throughput, w8a8 int8 serving "
-                          "mode (serve.py --quantize int8; batch 32; rel "
+                          "mode (serve.py --quantize int8; batch 64; rel "
                           "logit MAE 0.85% vs bf16, argmax agreement 1.0)",
                 "value": round(infer_int8, 1),
                 "unit": "volumes/sec/chip",

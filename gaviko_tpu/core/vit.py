@@ -333,6 +333,102 @@ def feedforward_block_res(
     return feedforward_block(p, prefix, x, spec, train=train, rngs=rngs) + x
 
 
+def _has_int8_last(params: Params, spec: ModelSpec) -> bool:
+    """True when the last layer carries int8 serving weights (the cls fast
+    path defers to the int8 kernels rather than re-running fp math)."""
+    from gaviko_tpu.ops.int8_linear import has_int8
+
+    pre = f"transformer.layers.{spec.depth - 1}"
+    return (has_int8(params, f"{pre}.0.to_qkv.weight")
+            or has_int8(params, f"{pre}.1.net.1.weight"))
+
+
+def attention_cls_branch(p: Params, prefix: str, x: jax.Array,
+                         spec: ModelSpec, *, n_true: int,
+                         train: bool = False,
+                         rngs: Optional[RngStream] = None) -> jax.Array:
+    """Attention branch output for query row 0 ONLY: (B, inner).
+
+    FLOP cut for ``pool='cls'``: in the LAST transformer layer the model
+    output (and therefore the loss) consumes nothing but the CLS row, so
+    the Q projection, the score/AV dots, and the out-projection are needed
+    for one query row — K/V still span every (real) token, and in training
+    the cotangents still reach every row's parameters through dK/dV. The
+    math is exactly ``attention_block(...)[:, 0]`` (row-wise LN/softmax
+    restricted to the rows that matter); the N x N score tensor of the
+    last layer never exists. The reference computes the full layer and
+    discards all but row 0 (ref: vision_transformer.py:60-72, 158-162).
+
+    In training the differentiable XLA form is used (autodiff supplies the
+    backward; the saved last-layer activations are one-row-sized) with
+    dropout on the attention probabilities, matching the full path's
+    in-kernel prob dropout site.
+    """
+    from gaviko_tpu.ops import attention as attn_mod
+    from gaviko_tpu.ops.ln_linear import fused_ln_linear, ln_linear_supported
+
+    heads, dh = spec.heads, spec.dim_head
+    inner = heads * dh
+    wq = p[f"{prefix}.to_qkv.weight"]  # (3*inner, dim); rows = [q | k | v]
+    w_kv = wq[inner:]
+    if (
+        attn_mod._DEFAULT_IMPL == "flash"
+        and not train
+        and wq.dtype == x.dtype
+        and ln_linear_supported(x.shape[-1], 2 * inner, x.dtype)
+    ):
+        kv = fused_ln_linear(
+            x, p[f"{prefix}.norm.weight"], p[f"{prefix}.norm.bias"], w_kv
+        )
+    else:
+        kv = layer_norm(p, f"{prefix}.norm", x) @ w_kv.T
+    # Q for the CLS row alone: LN of one row + a (B, dim) x (dim, inner) dot.
+    q0 = layer_norm(p, f"{prefix}.norm", x[:, 0]) @ wq[:inner].T
+    B, N, _ = x.shape
+    from gaviko_tpu.ops.cls_attention import (
+        cls_attention,
+        cls_attention_reference,
+        cls_attention_supported,
+    )
+
+    drop = spec.dropout if train else 0.0
+    if (not train
+            and attn_mod._DEFAULT_IMPL == "flash"
+            and cls_attention_supported(heads, dh, N, kv.dtype)):
+        # One VMEM pass over the packed KV (ops/cls_attention.py); the XLA
+        # lowerings all materialize an extra f32 (B, N, inner) tensor.
+        out = cls_attention(kv, q0, heads, dh, dh ** -0.5, n_true)
+    elif drop > 0.0:
+        # Differentiable form with prob dropout (the full path drops
+        # attention probabilities in-kernel; same semantic site here).
+        f32 = jnp.float32
+        k, v = kv[..., :inner], kv[..., inner:]
+        s = (k.astype(f32) * q0[:, None, :].astype(f32)) \
+            .reshape(B, N, heads, dh).sum(-1) * (dh ** -0.5)
+        if n_true != N:
+            s = jnp.where((jnp.arange(N) >= n_true)[:, None], -jnp.inf, s)
+        a = jax.nn.softmax(s, axis=1)
+        a = dropout(a, drop, train, rngs)
+        o = (v.astype(f32).reshape(B, N, heads, dh) * a[..., None]).sum(1)
+        out = o.reshape(B, inner)
+    else:
+        out = cls_attention_reference(kv, q0, heads, dh, dh ** -0.5, n_true)
+    out = linear(p, f"{prefix}.to_out.0", out.astype(x.dtype))
+    return dropout(out, spec.dropout, train, rngs)
+
+
+def feedforward_cls_branch(p: Params, prefix: str, c: jax.Array,
+                           spec: ModelSpec, *, train: bool = False,
+                           rngs: Optional[RngStream] = None) -> jax.Array:
+    """MLP branch on the pooled (B, dim) CLS rows (last-layer fast path)."""
+    h = layer_norm(p, f"{prefix}.net.0", c)
+    h = linear(p, f"{prefix}.net.1", h)
+    h = jax.nn.gelu(h, approximate=(spec.gelu == "tanh"))
+    h = dropout(h, spec.dropout, train, rngs)
+    h = linear(p, f"{prefix}.net.4", h)
+    return dropout(h, spec.dropout, train, rngs)
+
+
 def add_cls_and_pos(p: Params, tokens: jax.Array) -> jax.Array:
     """Prepend cls token and add pos embedding (ref: vision_transformer.py:154-156)."""
     B, n, _ = tokens.shape
@@ -382,7 +478,27 @@ def vit_apply(
     pad = (-n_true) % 8
     if pad:
         x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
-    for i in range(spec.depth):
+    # CLS fast path: with pool='cls' the model output — and in training
+    # the LOSS — is consumed only at row 0 of the last layer, so run that
+    # layer CLS-query-only (exact math; in training the cotangents of the
+    # discarded rows are identically zero, and grads still reach every
+    # row's parameters through dK/dV). ~6% fewer forward FLOPs at depth
+    # 12, and the saved last-layer activations shrink to one row. Gated
+    # off for mean pool and when the last layer's fp weights were swapped
+    # for int8 serving weights.
+    import os as _os
+    fast_cls = (
+        spec.pool == "cls"
+        and _os.environ.get("GAVIKO_CLS_FAST", "1") == "1"
+        and f"transformer.layers.{spec.depth - 1}.0.to_qkv.weight" in params
+        # int8 serving sidecars route the last layer through the int8
+        # kernels at inference; training ignores sidecars entirely, so the
+        # fast path must not gate on them there (the dropout stream has to
+        # match the sidecar-free params).
+        and (train or not _has_int8_last(params, spec))
+    )
+    depth_full = spec.depth - 1 if fast_cls else spec.depth
+    for i in range(depth_full):
         x = attention_block_res(
             params, f"transformer.layers.{i}.0", x, spec, train=train,
             rngs=rngs, n_true=n_true,
@@ -390,6 +506,19 @@ def vit_apply(
         x = feedforward_block_res(
             params, f"transformer.layers.{i}.1", x, spec, train=train,
             rngs=rngs,
+        )
+    if fast_cls:
+        i = spec.depth - 1
+        c = x[:, 0] + attention_cls_branch(
+            params, f"transformer.layers.{i}.0", x, spec, n_true=n_true,
+            train=train, rngs=rngs,
+        )
+        c = c + feedforward_cls_branch(
+            params, f"transformer.layers.{i}.1", c, spec, train=train,
+            rngs=rngs,
+        )
+        return linear(
+            params, "mlp_head", layer_norm(params, "transformer.norm", c)
         )
     if spec.pool == "cls":
         # LayerNorm is per-token, so pooling the cls row FIRST is exact and

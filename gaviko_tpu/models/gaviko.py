@@ -104,11 +104,14 @@ def _fusion_cross_attention(q: jax.Array, tokens: jax.Array, latent_dim: int) ->
 
 def _awakening_prompt(
     p: Params, prefix: str, x: jax.Array, local_tokens: jax.Array, spec: ModelSpec,
-    n_true: Optional[int] = None,
+    n_true: Optional[int] = None, rows_out: Optional[int] = None,
 ) -> jax.Array:
     """GPA module (ref: gaviko.py:121-187). ``n_true`` marks the real global
     stream length when it carries tail padding; pad rows are excluded from
     the cross-attention token sets (exact) and pass through proj_up in place.
+    ``rows_out`` (last-layer fast path) emits only the first ``rows_out``
+    output rows — the GPA's inputs always span the full streams, so this
+    changes nothing but which rows pay the proj_up GEMM.
     """
     P = spec.num_prompts
     lat = spec.prompt_latent_dim
@@ -150,6 +153,8 @@ def _awakening_prompt(
     if n_true != x.shape[1]:
         parts.append(x_latent[:, n_true:])  # pad rows ride along unscaled
     combined = jnp.concatenate(parts, axis=1)
+    if rows_out is not None:
+        combined = combined[:, :rows_out]
     return linear(p, f"{prefix}.proj_up", combined)
 
 
@@ -200,7 +205,17 @@ def apply(
     if g_pad:
         global_tokens = jnp.pad(global_tokens, [(0, 0), (0, g_pad), (0, 0)])
 
+    # Last-layer fast path: the head pools rows [0, P+1) only, and in the
+    # final iteration nothing else consumes the MLP/GPA outputs (the GPA
+    # reads the POST-ATTENTION stream, so the last global attention still
+    # runs full-width) — so the last MLP, proj_up, and final LN shrink to
+    # the pooled rows. Exact math in eval AND train (discarded rows carry
+    # zero cotangents). GAVIKO_CLS_FAST=0 disables (same gate as core/vit).
+    import os as _os
+    fast_pool = _os.environ.get("GAVIKO_CLS_FAST", "1") == "1"
+
     for i in range(spec.depth):
+        last = fast_pool and i == spec.depth - 1
         j = i // spec.share_factor
         la = f"transformer.local_attns.{j}"
         local_tokens = _local_self_attention(
@@ -213,8 +228,16 @@ def apply(
         ) + global_tokens
         prompt = _awakening_prompt(
             params, f"transformer.prompt_projs.{j}", global_tokens, local_tokens,
-            spec, n_true=n_true,
+            spec, n_true=n_true, rows_out=P + 1 if last else None,
         )
+        if last:
+            rows = global_tokens[:, : P + 1]
+            rows = vit_core.feedforward_block(
+                params, f"transformer.mlps.{i}", rows, spec,
+                train=bb_train, rngs=rngs,
+            ) + rows + prompt
+            out = layer_norm(params, "transformer.norm", rows)
+            return linear(params, "mlp_head.head", out.mean(axis=1))
         global_tokens = vit_core.feedforward_block(
             params, f"transformer.mlps.{i}", global_tokens, spec,
             train=bb_train, rngs=rngs,
