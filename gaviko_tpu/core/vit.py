@@ -391,14 +391,36 @@ def attention_cls_branch(p: Params, prefix: str, x: jax.Array,
         cls_attention_supported,
     )
 
+    out = cls_attend(kv, q0, spec, n_true=n_true, train=train, rngs=rngs)
+    out = linear(p, f"{prefix}.to_out.0", out.astype(x.dtype))
+    return dropout(out, spec.dropout, train, rngs)
+
+
+def cls_attend(kv: jax.Array, q0: jax.Array, spec: ModelSpec, *,
+               n_true: int, train: bool = False,
+               rngs: Optional[RngStream] = None) -> jax.Array:
+    """Single-query attention core: kv (B, N, 2*inner) packed [K | V],
+    q0 (B, inner) -> (B, inner). Dispatches to the Pallas kernel at
+    inference, a differentiable dropout-carrying form in training, and the
+    XLA twin otherwise. Shared by every model's last-layer fast path."""
+    from gaviko_tpu.ops import attention as attn_mod
+    from gaviko_tpu.ops.cls_attention import (
+        cls_attention,
+        cls_attention_reference,
+        cls_attention_supported,
+    )
+
+    heads, dh = spec.heads, spec.dim_head
+    inner = heads * dh
+    B, N, _ = kv.shape
     drop = spec.dropout if train else 0.0
     if (not train
             and attn_mod._DEFAULT_IMPL == "flash"
             and cls_attention_supported(heads, dh, N, kv.dtype)):
         # One VMEM pass over the packed KV (ops/cls_attention.py); the XLA
         # lowerings all materialize an extra f32 (B, N, inner) tensor.
-        out = cls_attention(kv, q0, heads, dh, dh ** -0.5, n_true)
-    elif drop > 0.0:
+        return cls_attention(kv, q0, heads, dh, dh ** -0.5, n_true)
+    if drop > 0.0:
         # Differentiable form with prob dropout (the full path drops
         # attention probabilities in-kernel; same semantic site here).
         f32 = jnp.float32
@@ -410,11 +432,16 @@ def attention_cls_branch(p: Params, prefix: str, x: jax.Array,
         a = jax.nn.softmax(s, axis=1)
         a = dropout(a, drop, train, rngs)
         o = (v.astype(f32).reshape(B, N, heads, dh) * a[..., None]).sum(1)
-        out = o.reshape(B, inner)
-    else:
-        out = cls_attention_reference(kv, q0, heads, dh, dh ** -0.5, n_true)
-    out = linear(p, f"{prefix}.to_out.0", out.astype(x.dtype))
-    return dropout(out, spec.dropout, train, rngs)
+        return o.reshape(B, inner)
+    return cls_attention_reference(kv, q0, heads, dh, dh ** -0.5, n_true)
+
+
+def cls_fast_enabled(spec: ModelSpec) -> bool:
+    """Shared gate for the last-layer fast path (pool='cls' models)."""
+    import os
+
+    return (spec.pool == "cls"
+            and os.environ.get("GAVIKO_CLS_FAST", "1") == "1")
 
 
 def feedforward_cls_branch(p: Params, prefix: str, c: jax.Array,
@@ -486,10 +513,8 @@ def vit_apply(
     # 12, and the saved last-layer activations shrink to one row. Gated
     # off for mean pool and when the last layer's fp weights were swapped
     # for int8 serving weights.
-    import os as _os
     fast_cls = (
-        spec.pool == "cls"
-        and _os.environ.get("GAVIKO_CLS_FAST", "1") == "1"
+        cls_fast_enabled(spec)
         and f"transformer.layers.{spec.depth - 1}.0.to_qkv.weight" in params
         # int8 serving sidecars route the last layer through the int8
         # kernels at inference; training ignores sidecars entirely, so the

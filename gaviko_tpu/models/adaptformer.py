@@ -54,7 +54,24 @@ def apply(
     pad = (-n_true) % 8
     if pad:
         x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
+    fast = vit_core.cls_fast_enabled(spec)
     for i in range(spec.depth):
+        if fast and i == spec.depth - 1:
+            # Last-layer fast path: the head pools row 0 only; the adapter
+            # is per-row, so it follows the CLS row through (exact math,
+            # see core/vit.py cls_fast_enabled).
+            c = x[:, 0] + vit_core.attention_cls_branch(
+                params, f"transformer.layers.{i}.0", x, spec, n_true=n_true,
+                train=bb_train, rngs=rngs,
+            )
+            residual = _adapter(params, f"transformer.layers.{i}.1", c)
+            c = vit_core.feedforward_cls_branch(
+                params, f"transformer.layers.{i}.2", c, spec, train=bb_train,
+                rngs=rngs,
+            ) + c + residual
+            return linear(
+                params, "mlp_head", layer_norm(params, "transformer.norm", c)
+            )
         x = vit_core.attention_block(
             params, f"transformer.layers.{i}.0", x, spec, train=bb_train,
             rngs=rngs, n_true=n_true,

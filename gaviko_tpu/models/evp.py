@@ -107,8 +107,19 @@ def apply(
 
     x = vit_core.add_cls_and_pos(params, x)
     x = dropout(x, spec.emb_dropout, bb_train, rngs)
+    fast = vit_core.cls_fast_enabled(spec)
     for i in range(spec.depth):
         x = jnp.concatenate([x[:, :1], prompts[i] + x[:, 1:]], axis=1)
+        if fast and i == spec.depth - 1:
+            # Last-layer fast path (core/vit.py cls_fast_enabled).
+            c = x[:, 0] + vit_core.attention_cls_branch(
+                params, f"transformer.layers.{i}.0", x, spec,
+                n_true=x.shape[1], train=bb_train, rngs=rngs)
+            c = c + vit_core.feedforward_cls_branch(
+                params, f"transformer.layers.{i}.1", c, spec,
+                train=bb_train, rngs=rngs)
+            return linear(
+                params, "mlp_head", layer_norm(params, "transformer.norm", c))
         x = vit_core.attention_block(
             params, f"transformer.layers.{i}.0", x, spec, train=bb_train, rngs=rngs
         ) + x

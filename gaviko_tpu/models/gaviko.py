@@ -212,7 +212,8 @@ def apply(
     # the pooled rows. Exact math in eval AND train (discarded rows carry
     # zero cotangents). GAVIKO_CLS_FAST=0 disables (same gate as core/vit).
     import os as _os
-    fast_pool = _os.environ.get("GAVIKO_CLS_FAST", "1") == "1"
+    fast_pool = _os.environ.get("GAVIKO_CLS_FAST", "1") == "1"  # GAViKO pools
+    # prompts+CLS rather than spec.pool, so the env flag alone gates here.
 
     for i in range(spec.depth):
         last = fast_pool and i == spec.depth - 1

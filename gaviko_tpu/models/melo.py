@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from gaviko_tpu.config import ModelSpec
 from gaviko_tpu.core import init as tinit
 from gaviko_tpu.core import vit as vit_core
-from gaviko_tpu.core.layers import Params, RngStream, dropout, layer_norm
+from gaviko_tpu.core.layers import Params, RngStream, dropout, layer_norm, linear
 
 
 def _lora_layers(spec: ModelSpec):
@@ -46,8 +46,43 @@ def apply(
     pad = (-n_true) % 8
     if pad:
         x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
+    fast = vit_core.cls_fast_enabled(spec)
     for i in range(spec.depth):
         a = f"transformer.layers.{i}.0"
+        if fast and i == spec.depth - 1:
+            # Last-layer fast path (core/vit.py cls_fast_enabled): the head
+            # pools row 0 only. K/V (with the LoRA v-delta) still span all
+            # rows; Q (with its q-delta) is computed for the CLS row alone.
+            xn = layer_norm(vt, f"{a}.norm", x)
+            if i in lora:
+                qp = f"{a}.to_qkv"
+                w = vt[f"{qp}.qkv.weight"]
+                dim = w.shape[1]
+                kv = xn @ w[dim:].T
+                dv = scaling * ((xn @ vt[f"{qp}.linear_a_v.weight"].T)
+                                @ vt[f"{qp}.linear_b_v.weight"].T)
+                kv = jnp.concatenate(
+                    [kv[..., :dim], kv[..., dim:] + dv], axis=-1)
+                x0 = xn[:, 0]
+                q0 = x0 @ w[:dim].T + scaling * (
+                    (x0 @ vt[f"{qp}.linear_a_q.weight"].T)
+                    @ vt[f"{qp}.linear_b_q.weight"].T)
+            else:
+                w = vt[f"{a}.to_qkv.weight"]
+                dim = w.shape[1]
+                kv = xn @ w[dim:].T
+                q0 = xn[:, 0] @ w[:dim].T
+            out = vit_core.cls_attend(kv, q0, spec, n_true=n_true,
+                                      train=train, rngs=rngs)
+            out = linear(vt, f"{a}.to_out.0", out.astype(x.dtype))
+            out = dropout(out, spec.dropout, train, rngs)
+            c = x[:, 0] + out
+            c = c + vit_core.feedforward_cls_branch(
+                vt, f"transformer.layers.{i}.1", c, spec, train=train,
+                rngs=rngs,
+            )
+            return linear(
+                vt, "mlp_head", layer_norm(vt, "transformer.norm", c))
         if i in lora:
             qkv_prefix = f"{a}.to_qkv"
 

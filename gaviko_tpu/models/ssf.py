@@ -33,6 +33,37 @@ def _ssf(p: Params, prefix: str, idx: int, x: jax.Array) -> jax.Array:
     return ssf_ada(x, p[f"{prefix}.ssf_scale_{idx}"], p[f"{prefix}.ssf_shift_{idx}"])
 
 
+def _attn_cls_branch(p, prefix, x, spec, *, train, rngs, n_true):
+    """CLS-query-only attention branch with the ssf_ada insertion points of
+    ``_attn_block`` (last-layer fast path; see core/vit.py cls_fast_enabled).
+    The packed-qkv ssf_1 scale/shift apply sliced to the kv / q thirds."""
+    h = layer_norm(p, f"{prefix}.norm", x)
+    h = _ssf(p, prefix, 0, h)
+    w = p[f"{prefix}.to_qkv.weight"]
+    inner = w.shape[0] // 3
+    sc = p[f"{prefix}.ssf_scale_1"]
+    sh = p[f"{prefix}.ssf_shift_1"]
+    kv = (h @ w[inner:].T) * sc[inner:] + sh[inner:]
+    q0 = (h[:, 0] @ w[:inner].T) * sc[:inner] + sh[:inner]
+    out = vit_core.cls_attend(kv, q0, spec, n_true=n_true, train=train,
+                              rngs=rngs)
+    out = linear(p, f"{prefix}.to_out.0", out.astype(x.dtype))
+    out = _ssf(p, prefix, 2, out)
+    return dropout(out, spec.dropout, train, rngs)
+
+
+def _ff_cls_branch(p, prefix, c, spec, *, train, rngs):
+    h = layer_norm(p, f"{prefix}.net.0", c)
+    h = _ssf(p, prefix, 0, h)
+    h = linear(p, f"{prefix}.net.1", h)
+    h = _ssf(p, prefix, 1, h)
+    h = jax.nn.gelu(h, approximate=(spec.gelu == "tanh"))
+    h = dropout(h, spec.dropout, train, rngs)
+    h = linear(p, f"{prefix}.net.4", h)
+    h = _ssf(p, prefix, 2, h)
+    return dropout(h, spec.dropout, train, rngs)
+
+
 def _attn_block(p, prefix, x, spec, *, train, rngs, n_true=None):
     h = layer_norm(p, f"{prefix}.norm", x)
     h = _ssf(p, prefix, 0, h)
@@ -115,7 +146,19 @@ def apply(
     pad = (-n_true) % 8
     if pad:
         x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
+    fast = vit_core.cls_fast_enabled(spec)
     for i in range(spec.depth):
+        if fast and i == spec.depth - 1:
+            c = x[:, 0] + _attn_cls_branch(
+                params, f"transformer.layers.{i}.0", x, spec,
+                train=bb_train, rngs=rngs, n_true=n_true)
+            c = c + _ff_cls_branch(
+                params, f"transformer.layers.{i}.1", c, spec,
+                train=bb_train, rngs=rngs)
+            c = layer_norm(params, "transformer.norm", c)
+            c = ssf_ada(c, params["transformer.ssf_scale_1"],
+                        params["transformer.ssf_shift_1"])
+            return linear(params, "mlp_head", c)
         x = _attn_block(params, f"transformer.layers.{i}.0", x, spec,
                         train=bb_train, rngs=rngs, n_true=n_true) + x
         x = _ff_block(params, f"transformer.layers.{i}.1", x, spec, train=bb_train, rngs=rngs) + x

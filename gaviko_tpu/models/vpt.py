@@ -57,6 +57,22 @@ def apply(
         pr = jnp.broadcast_to(pr.reshape(1, P, -1), (B, P, pr.shape[-1])).astype(x.dtype)
         return dropout(pr, spec.prompt_dropout, prompt_train, rngs)
 
+    # Last-layer fast path (see core/vit.py cls_fast_enabled): the head
+    # pools row 0 only, so the final layer runs CLS-query-only — exact in
+    # eval and train (discarded rows carry zero cotangents).
+    fast = vit_core.cls_fast_enabled(spec)
+
+    def last_layer_cls(x, i):
+        c = x[:, 0] + vit_core.attention_cls_branch(
+            vt, f"transformer.layers.{i}.0", x, spec, n_true=x.shape[1],
+            train=bb_train, rngs=rngs,
+        )
+        c = c + vit_core.feedforward_cls_branch(
+            vt, f"transformer.layers.{i}.1", c, spec, train=bb_train,
+            rngs=rngs,
+        )
+        return linear(vt, "mlp_head", layer_norm(vt, "transformer.norm", c))
+
     if spec.deep_prompt:
         table = params["deep_prompt_embeddings"]  # (layers, P, prompt_dim)
         for i in range(spec.depth):
@@ -66,6 +82,8 @@ def apply(
             else:
                 # NOT 1 + P: the reference drops 1 + prompt_dim positions.
                 x = jnp.concatenate([x[:, :1], pr, x[:, 1 + spec.prompt_dim:]], axis=1)
+            if fast and i == spec.depth - 1:
+                return last_layer_cls(x, i)
             x = vit_core.attention_block(
                 vt, f"transformer.layers.{i}.0", x, spec, train=bb_train, rngs=rngs
             ) + x
@@ -76,6 +94,8 @@ def apply(
         pr = project_prompts(params["prompt_embeddings"][0])
         x = jnp.concatenate([x[:, :1], pr, x[:, 1:]], axis=1)
         for i in range(spec.depth):
+            if fast and i == spec.depth - 1:
+                return last_layer_cls(x, i)
             x = vit_core.attention_block(
                 vt, f"transformer.layers.{i}.0", x, spec, train=bb_train, rngs=rngs
             ) + x

@@ -81,6 +81,48 @@ def test_vit_fast_path_is_exact():
     np.testing.assert_allclose(fast, full, atol=1e-5)
 
 
+_METHOD_CFGS = {
+    "shallow_vpt": dict(num_prompts=4, prompt_dim=6, prompt_dropout=0.1,
+                        freeze_vit=True),
+    "deep_vpt": dict(num_prompts=4, prompt_dim=6, prompt_dropout=0.1,
+                     freeze_vit=True),
+    "adaptformer": dict(freeze_vit=True),
+    "ssf": dict(freeze_vit=True),
+    "melo": dict(r=2, alpha=4, freeze_vit=True),
+    "evp": dict(freq_nums=0.25, tuning_stage=1234, handcrafted_tune=True,
+                embedding_tune=True, adaptor="adaptor", freeze_vit=True),
+    "gaviko": dict(num_prompts=8, prompt_latent_dim=12, local_dim=12,
+                   local_k=[2, 2, 2], DHW=[2, 2, 2], attn_drop=0.2,
+                   proj_drop=0.2, share_factor=1, freeze_vit=True),
+}
+
+
+@pytest.mark.parametrize("method", sorted(_METHOD_CFGS))
+def test_method_fast_path_is_exact(method):
+    """Every pool='cls' method's eval logits must be identical (to float
+    rounding) with the last-layer fast path on and off."""
+    from gaviko_tpu.models.factory import build_model
+
+    outs = {}
+    for fast in ("0", "1"):
+        os.environ["GAVIKO_CLS_FAST"] = fast
+        try:
+            cfg = dict(image_size=32, image_patch_size=16, frames=24,
+                       frame_patch_size=12, num_classes=5, channels=1,
+                       pool="cls", backbone="vit-t16", method=method,
+                       dropout=0.1, emb_dropout=0.1,
+                       **_METHOD_CFGS[method])
+            m = build_model(cfg)
+            p = m.init(jax.random.PRNGKey(0), m.spec)
+            vol = jnp.asarray(
+                np.random.RandomState(1).rand(2, 1, 24, 32, 32), jnp.float32)
+            outs[fast] = np.asarray(
+                jax.jit(lambda p, x: m.apply(p, x, m.spec))(p, vol))
+        finally:
+            os.environ.pop("GAVIKO_CLS_FAST", None)
+    np.testing.assert_allclose(outs["1"], outs["0"], atol=1e-5)
+
+
 def _tiny_grads(fast: str):
     """Loss grads w.r.t. ALL params at dropout=0, fast path on/off."""
     from gaviko_tpu.models.factory import build_model
