@@ -28,17 +28,54 @@ class RngStream:
 
     Splitting happens at Python trace time, so under jit each dropout site
     gets a stable, distinct key derived from the base key.
+
+    Op-count note: a vit-b16 training forward consumes ~38 sites and a
+    GAViKO vit-l16 forward >100; deriving each key (threefry fold_in) and
+    each kernel seed (a second threefry in ``seed_from_key``) as a separate
+    scalar op contributed measurably to the train step's ~3300-tiny-op
+    dispatch tail. Keys and seeds are therefore derived in vectorized
+    blocks — ONE batched threefry per 64 sites — and handed out by static
+    indexing. ``next()`` returns bit-identical keys to the per-site
+    ``fold_in(key, count)`` it replaces (vmap of fold_in over the counts),
+    so every existing mask/checkpoint replay is unchanged.
     """
+
+    _BLOCK = 64
 
     def __init__(self, key: Optional[jax.Array]):
         self._key = key
         self._count = 0
+        self._keys = None   # (M,)-batched fold_in(key, 1..M)
+        self._seeds = None  # int32 kernel seeds of those keys
+
+    def _ensure(self, n: int) -> None:
+        if self._keys is not None and n <= self._keys.shape[0]:
+            return
+        m = -(-n // self._BLOCK) * self._BLOCK
+        idx = jnp.arange(1, m + 1, dtype=jnp.uint32)
+        self._keys = jax.vmap(
+            lambda i: jax.random.fold_in(self._key, i))(idx)
+        self._seeds = jax.lax.bitcast_convert_type(
+            jax.vmap(lambda k: jax.random.bits(k, (), jnp.uint32))(self._keys),
+            jnp.int32,
+        )
 
     def next(self) -> jax.Array:
+        """The key ``fold_in(base_key, count)`` for this site."""
         if self._key is None:
             raise ValueError("dropout requested but no rng key was provided")
         self._count += 1
-        return jax.random.fold_in(self._key, self._count)
+        self._ensure(self._count)
+        return self._keys[self._count - 1]
+
+    def next_seed(self) -> jax.Array:
+        """int32 kernel seed == ``seed_from_key(self.next())``, from the
+        same batched derivation (consumes one site like ``next()``)."""
+        if self._key is None:
+            raise ValueError("dropout requested but no rng key was provided")
+        self._count += 1
+        self._ensure(self._count)
+        return self._seeds[self._count - 1]
 
 
 def linear(p: Params, prefix: str, x: jax.Array) -> jax.Array:
@@ -84,9 +121,9 @@ def dropout(x: jax.Array, rate: float, enabled: bool, rngs: Optional[RngStream])
     """
     if not enabled or rate == 0.0:
         return x
-    from gaviko_tpu.ops.hash_dropout import keep_mask, seed_from_key
+    from gaviko_tpu.ops.hash_dropout import keep_mask
 
-    seed = seed_from_key(rngs.next())
+    seed = rngs.next_seed()
     keep = 1.0 - rate
     flat = x.reshape(-1, x.shape[-1]) if x.ndim != 2 else x
     mask = keep_mask(flat.shape, seed, rate).reshape(x.shape)

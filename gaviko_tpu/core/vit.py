@@ -153,7 +153,6 @@ def attention_block(
 
     from gaviko_tpu.ops import attention as attn_mod
     from gaviko_tpu.ops.flash_attention import fused_mhsa, fused_mhsa_supported
-    from gaviko_tpu.ops.hash_dropout import seed_from_key
 
     # In-kernel hash dropout keeps the fused path active in training too
     # (the reference's primary mode); the custom VJP replays the same mask.
@@ -164,7 +163,7 @@ def attention_block(
     if use_fused:
         drop = spec.dropout if train else 0.0
         if drop > 0.0:
-            seed = seed_from_key(rngs.next()).reshape(1)
+            seed = rngs.next_seed().reshape(1)
         else:
             seed = jnp.zeros((1,), jnp.int32)
         pad = (-N) % 8
@@ -241,7 +240,6 @@ def feedforward_block(
     (ref: vision_transformer.py:26-38). Returns the branch output."""
     from gaviko_tpu.ops import attention as attn_mod
     from gaviko_tpu.ops.fused_mlp import fused_mlp, fused_mlp_supported
-    from gaviko_tpu.ops.hash_dropout import seed_from_key
     from gaviko_tpu.ops.int8_linear import (
         INT8_SUFFIX, SCALE_SUFFIX, has_int8, int8_mlp)
 
@@ -265,7 +263,7 @@ def feedforward_block(
         # training dropout runs in-kernel with a mask-replaying backward.
         drop = spec.dropout if train else 0.0
         if drop > 0.0:
-            seed = seed_from_key(rngs.next()).reshape(1)
+            seed = rngs.next_seed().reshape(1)
         else:
             seed = jnp.zeros((1,), jnp.int32)
         return fused_mlp(
@@ -297,7 +295,6 @@ def feedforward_block_res(
     block is already resident in VMEM), saving a 3-tensor HBM pass/layer."""
     from gaviko_tpu.ops import attention as attn_mod
     from gaviko_tpu.ops.fused_mlp import fused_mlp, fused_mlp_supported
-    from gaviko_tpu.ops.hash_dropout import seed_from_key
     from gaviko_tpu.ops.int8_linear import (
         INT8_SUFFIX, SCALE_SUFFIX, has_int8, int8_mlp)
 
@@ -320,7 +317,7 @@ def feedforward_block_res(
     ):
         drop = spec.dropout if train else 0.0
         if drop > 0.0:
-            seed = seed_from_key(rngs.next()).reshape(1)
+            seed = rngs.next_seed().reshape(1)
         else:
             seed = jnp.zeros((1,), jnp.int32)
         return fused_mlp(

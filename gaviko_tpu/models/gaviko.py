@@ -76,7 +76,6 @@ def _local_self_attention(
     kernel carries the REAL training workload; the XLA impl replays the same
     bits and is bit-identical for the same rng stream.
     """
-    from gaviko_tpu.ops.hash_dropout import seed_from_key
 
     h = layer_norm(p, f"{prefix}.norm", x)
     h = linear(p, f"{prefix}.proj_down", h)  # [B, N, local_dim]
@@ -84,7 +83,7 @@ def _local_self_attention(
     q, k, v = jnp.split(qkv, 3, axis=-1)
     scale = spec.dim ** -0.5  # full model dim (reference quirk, gaviko.py:201)
     drop = spec.attn_drop if train else 0.0
-    seed = seed_from_key(rngs.next()).reshape(1) if drop > 0.0 else None
+    seed = rngs.next_seed().reshape(1) if drop > 0.0 else None
     out = masked_local_attention(
         q, k, v, scale=scale, DHW=spec.DHW, local_k=spec.local_k, impl=impl,
         seed=seed, dropout_rate=drop,

@@ -75,7 +75,6 @@ def _attn_block(p, prefix, x, spec, *, train, rngs, n_true=None):
 
     from gaviko_tpu.ops import attention as attn_mod
     from gaviko_tpu.ops.flash_attention import fused_mhsa, fused_mhsa_supported
-    from gaviko_tpu.ops.hash_dropout import seed_from_key
 
     if (
         attn_mod._DEFAULT_IMPL == "flash"
@@ -83,7 +82,7 @@ def _attn_block(p, prefix, x, spec, *, train, rngs, n_true=None):
     ):
         drop = spec.dropout if train else 0.0
         if drop > 0.0:
-            seed = seed_from_key(rngs.next()).reshape(1)
+            seed = rngs.next_seed().reshape(1)
         else:
             seed = jnp.zeros((1,), jnp.int32)
         padr = (-N) % 8

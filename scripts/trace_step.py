@@ -48,12 +48,23 @@ def build_train_step():
         logits = model.apply(p, vol, model.spec, train=True, rng=step_rng)
         return focal_loss(logits.astype(jnp.float32), labels, gamma=1.2)
 
-    @jax.jit
+    import functools
+
+    # Donate params/opt state like the bench chain's fori_loop carry does —
+    # otherwise the trace shows per-layer weight copies the real training
+    # step never pays (observed: ~0.4 ms of copy-done on the weight leaves).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(p, o):
         grads = jax.grad(loss_fn)(p, key)
         return fused_optim.step(grads, o, p, 3e-4, clip=1.0, eps=1e-4)
 
-    return lambda: jax.block_until_ready(step(params, opt_state))
+    state = {"p": params, "o": opt_state}
+
+    def run():
+        state["p"], state["o"] = step(state["p"], state["o"])
+        jax.block_until_ready(jax.tree.leaves(state["p"])[0])
+
+    return run
 
 
 def build_infer():

@@ -199,3 +199,26 @@ def test_keep_mask_pairwise_independence():
     # Diagonal neighbours (row+1, col+1) — the sum row*R+col*C changes by
     # R+C there, a constant: the mix must still decorrelate it.
     assert abs(joint(m[:-1, :-1], m[1:, 1:]) - pk * pk) < tol
+
+
+def test_rng_stream_batched_derivation_matches_per_site_fold_in():
+    """RngStream derives keys/seeds in vectorized blocks (one batched
+    threefry per 64 sites — an op-count optimization for the train step);
+    the handout must stay bit-identical to the per-site
+    fold_in(key, count) / seed_from_key chain it replaced, including
+    across a block-growth boundary (site 65+) and for both raw uint32
+    and new-style typed keys."""
+    from gaviko_tpu.core.layers import RngStream
+
+    for mk in (jax.random.PRNGKey(7), jax.random.key(7)):
+        s = RngStream(mk)
+        for i in range(1, 70):
+            np.testing.assert_array_equal(
+                np.asarray(jax.random.key_data(s.next())),
+                np.asarray(jax.random.key_data(jax.random.fold_in(mk, i))),
+            )
+        s2 = RngStream(mk)
+        for i in range(1, 70):
+            assert int(s2.next_seed()) == int(
+                seed_from_key(jax.random.fold_in(mk, i))
+            )
