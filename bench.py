@@ -35,6 +35,7 @@ Prints ONE JSON line: the headline {"metric", "value", "unit",
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -246,73 +247,113 @@ def bench_logit_mae():
     return float(np.abs(flash - xla).mean() / np.abs(xla).mean())
 
 
+class _BenchTimeout(RuntimeError):
+    pass
+
+
+def _arm_watchdog():
+    """SIGALRM watchdog for the relay-down failure mode.
+
+    The axon relay has been observed DOWN for hours, and in that state a
+    jitted dispatch HANGS rather than raises (CLAUDE.md) — an unguarded
+    bench run at round end would then record nothing even for the metrics
+    that already completed. On expiry the in-flight benchmark is abandoned
+    via an exception; main() prints the headline + whatever extras
+    finished. Budget: GAVIKO_BENCH_TIMEOUT seconds (default 5400 — roughly 2x a
+    fully cold exact-stripe compile of all six metrics; cached reruns
+    take minutes), 0 disables. Main-thread only; degrades to no
+    watchdog elsewhere.
+    """
+    import signal
+    import threading
+
+    budget = int(os.environ.get("GAVIKO_BENCH_TIMEOUT", "5400"))
+    if budget <= 0 or threading.current_thread() is not threading.main_thread():
+        return
+    def _expire(signum, frame):
+        raise _BenchTimeout(f"bench watchdog expired after {budget}s")
+    signal.signal(signal.SIGALRM, _expire)
+    signal.alarm(budget)
+
+
 def main():
+    _arm_watchdog()
+    # Headline first: if the relay dies mid-run, the watchdog salvages the
+    # metrics that completed (a timeout BEFORE the headline stays a fatal
+    # error — better no record than a bogus one).
     infer, infer_int8 = bench_infer_b16()
-    # Rounds 1-2 benched at B32; keep that row so the cross-round series
-    # stays an apples-to-apples comparison (B64 is the measured optimum).
-    infer_ref = bench_infer_b16(batch=INFER_BATCH_REF, with_int8=False)
-    train = bench_train_b16()
-    # Throughput-optimal train batch: the optimizer pass and per-kernel
-    # dispatch tails are batch-independent, so B16 peaks the sweep
-    # (B8 172 / B16 185 / B32 181 vol/s — perf_probe.py train_batch_sweep).
-    # B8 above stays the headline train row (the reference's batch size);
-    # this row records what the chip delivers when batch is free to float.
-    train16 = bench_train_b16(batch=16)
-    gaviko = bench_gaviko_l16()
-    logit_mae = bench_logit_mae()
+    infer_ref = train = train16 = gaviko = logit_mae = None
+    try:
+        # Rounds 1-2 benched at B32; keep that row so the cross-round series
+        # stays an apples-to-apples comparison (B64 is the measured optimum).
+        infer_ref = bench_infer_b16(batch=INFER_BATCH_REF, with_int8=False)
+        train = bench_train_b16()
+        # Throughput-optimal train batch: the optimizer pass and per-kernel
+        # dispatch tails are batch-independent, so B16 peaks the sweep
+        # (B8 172 / B16 185 / B32 181 vol/s — perf_probe.py train_batch_sweep).
+        # B8 above stays the headline train row (the reference's batch size);
+        # this row records what the chip delivers when batch is free to float.
+        train16 = bench_train_b16(batch=16)
+        gaviko = bench_gaviko_l16()
+        logit_mae = bench_logit_mae()
+    except _BenchTimeout as e:
+        import sys
+        print(f"bench watchdog: {e}; emitting completed metrics only",
+              file=sys.stderr, flush=True)
+    else:
+        import signal
+        if hasattr(signal, "alarm"):
+            signal.alarm(0)
+    rows = [
+        (infer_ref,
+         "vit-b16 inference throughput at batch 32 (the rounds-1/2 batch, "
+         "for cross-round comparability)",
+         "volumes/sec/chip", TARGET_INFER),
+        (train,
+         "vit-b16 fft train-step throughput (bf16 compute, batch 8; "
+         "measured single-chip GEMM+VPU floor for this workload is "
+         "~205 vol/s = 0.91x target — see ARCHITECTURE.md train-step "
+         "decomposition)",
+         "volumes/sec/chip", TARGET_TRAIN),
+        (train16,
+         "vit-b16 fft train-step throughput at the throughput-optimal "
+         "batch (bf16 compute, batch 16)",
+         "volumes/sec/chip", TARGET_TRAIN),
+        (gaviko,
+         "GAViKO vit-l16 inference throughput (bf16, batch 8)",
+         "volumes/sec/chip", TARGET_GAVIKO),
+        (infer_int8,
+         "vit-b16 inference throughput, w8a8 int8 serving mode (serve.py "
+         "--quantize int8; batch 64; rel logit MAE 0.85% vs bf16, argmax "
+         "agreement 1.0)",
+         "volumes/sec/chip", TARGET_INFER),
+    ]
+    extra = [
+        {
+            "metric": metric,
+            "value": round(value, 1),
+            "unit": unit,
+            "vs_baseline": round(value / target, 3),
+        }
+        for value, metric, unit, target in rows
+        if value is not None
+    ]
+    if logit_mae is not None:
+        extra.append({
+            "metric": "on-chip compiled-kernels vs XLA-twin relative "
+                      "logit MAE (GAViKO vit-b16, bf16; budget 1e-2, "
+                      "noise floor ~1.3e-3)",
+            "value": round(logit_mae, 5),
+            "unit": "MAE / mean abs logit",
+            "vs_baseline": round(1e-2 / max(logit_mae, 1e-9), 3),
+        })
     print(json.dumps({
         "metric": "vit-b16 MRI inference throughput (120x160x160, bf16, "
                   "batch 64 = measured throughput-optimal)",
         "value": round(infer, 1),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(infer / TARGET_INFER, 3),
-        "extra": [
-            {
-                "metric": "vit-b16 inference throughput at batch 32 (the "
-                          "rounds-1/2 batch, for cross-round comparability)",
-                "value": round(infer_ref, 1),
-                "unit": "volumes/sec/chip",
-                "vs_baseline": round(infer_ref / TARGET_INFER, 3),
-            },
-            {
-                "metric": "vit-b16 fft train-step throughput (bf16 compute, "
-                          "batch 8; measured single-chip GEMM+VPU floor for "
-                          "this workload is ~205 vol/s = 0.91x target — see "
-                          "ARCHITECTURE.md train-step decomposition)",
-                "value": round(train, 1),
-                "unit": "volumes/sec/chip",
-                "vs_baseline": round(train / TARGET_TRAIN, 3),
-            },
-            {
-                "metric": "vit-b16 fft train-step throughput at the "
-                          "throughput-optimal batch (bf16 compute, batch 16)",
-                "value": round(train16, 1),
-                "unit": "volumes/sec/chip",
-                "vs_baseline": round(train16 / TARGET_TRAIN, 3),
-            },
-            {
-                "metric": "GAViKO vit-l16 inference throughput (bf16, batch 8)",
-                "value": round(gaviko, 1),
-                "unit": "volumes/sec/chip",
-                "vs_baseline": round(gaviko / TARGET_GAVIKO, 3),
-            },
-            {
-                "metric": "vit-b16 inference throughput, w8a8 int8 serving "
-                          "mode (serve.py --quantize int8; batch 64; rel "
-                          "logit MAE 0.85% vs bf16, argmax agreement 1.0)",
-                "value": round(infer_int8, 1),
-                "unit": "volumes/sec/chip",
-                "vs_baseline": round(infer_int8 / TARGET_INFER, 3),
-            },
-            {
-                "metric": "on-chip compiled-kernels vs XLA-twin relative "
-                          "logit MAE (GAViKO vit-b16, bf16; budget 1e-2, "
-                          "noise floor ~1.3e-3)",
-                "value": round(logit_mae, 5),
-                "unit": "MAE / mean abs logit",
-                "vs_baseline": round(1e-2 / max(logit_mae, 1e-9), 3),
-            },
-        ],
+        "extra": extra,
     }))
 
 

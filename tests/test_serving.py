@@ -300,3 +300,24 @@ def test_predictor_int8_quantize(tmp_path_factory):
     b = quant.predict_logits(vols)
     rel = np.abs(a - b).mean() / max(np.abs(a).mean(), 1e-9)
     assert rel < 5e-2, rel
+
+
+def test_predictor_int8_quantize_mesh_parallel(tmp_path_factory):
+    """int8 sidecar params compose with the DP x TP mesh predictor: the
+    sidecar keys route through shardings_for_params (falling back to
+    replication where no TP rule matches) and the int8 kernels run under
+    the sharded forward. Must match the single-device int8 predictor."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    root = str(tmp_path_factory.mktemp("serve_q_mesh"))
+    csv_path, volumes = make_synth_dataset(root, n_train=2, n_val=1)
+    config = tiny_config(root, csv_path, volumes)
+    single = Predictor(config, batch_size=2, dtype="float32",
+                       pretrained_dir=None, quantize="int8")
+    meshq = Predictor(config, batch_size=2, dtype="float32",
+                      pretrained_dir=None, quantize="int8",
+                      mesh_shape=(2, 2))
+    rng = np.random.RandomState(5)
+    vols = [rng.rand(24, 32, 32).astype(np.float32) for _ in range(3)]
+    np.testing.assert_allclose(
+        meshq.predict_logits(vols), single.predict_logits(vols), atol=2e-5)
