@@ -381,13 +381,6 @@ def attention_cls_branch(p: Params, prefix: str, x: jax.Array,
         kv = layer_norm(p, f"{prefix}.norm", x) @ w_kv.T
     # Q for the CLS row alone: LN of one row + a (B, dim) x (dim, inner) dot.
     q0 = layer_norm(p, f"{prefix}.norm", x[:, 0]) @ wq[:inner].T
-    B, N, _ = x.shape
-    from gaviko_tpu.ops.cls_attention import (
-        cls_attention,
-        cls_attention_reference,
-        cls_attention_supported,
-    )
-
     out = cls_attend(kv, q0, spec, n_true=n_true, train=train, rngs=rngs)
     out = linear(p, f"{prefix}.to_out.0", out.astype(x.dtype))
     return dropout(out, spec.dropout, train, rngs)

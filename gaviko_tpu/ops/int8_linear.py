@@ -203,6 +203,19 @@ def quantize_backbone(params: dict, depth: int | None = None) -> dict:
     the int8 kernels when it sees the sidecars (core/vit.py). ``depth`` is
     accepted for API stability but unused (sites are found by key scan).
     """
+    if any("ssf_scale" in k for k in params):
+        # SSF inserts ssf_ada between LN and every GEMM (models/ssf.py), so
+        # its blocks bypass the int8-gated core paths — and the int8
+        # kernels' fused LN would be semantically wrong there anyway.
+        # Adding sidecars would cost ~25% resident memory for math nobody
+        # consumes; refuse loudly instead of silently serving fp.
+        import logging
+
+        logging.warning(
+            "int8 quantization is not supported for SSF models "
+            "(ssf_ada sits between LN and the GEMMs); serving full precision."
+        )
+        return dict(params)
     out = dict(params)
     for key in list(params):
         # GAViKO's local-attention stack has matching names but consumes

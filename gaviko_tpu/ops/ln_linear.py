@@ -193,9 +193,11 @@ def _ln_linear_bwd(eps, res, g):
     x, gamma, beta, w = res
     B, N, dim = x.shape
     out_dim = w.shape[0]
-    itemsize = jnp.dtype(x.dtype).itemsize
-    if not (dim % 128 == 0 and out_dim % 128 == 0
-            and dim * out_dim * (itemsize + 4) <= 45_000_000):
+    # Single source of truth for the VMEM-fit gate: the hybrid path claims
+    # support via ln_linear_hybrid_supported, so the backward must use the
+    # SAME predicate or a budget retune would silently split them (kernel
+    # forward + XLA backward, quietly losing the measured win).
+    if not ln_linear_hybrid_supported(dim, out_dim, x.dtype):
         _, vjp = jax.vjp(
             lambda x, gamma, beta, w: ln_linear_reference(x, gamma, beta, w,
                                                           eps),

@@ -236,6 +236,15 @@ def make_parallel_train_step(
                 if t.dtype == jnp.float32 else t,
                 params,
             )
+        if device_augment:
+            # device_augment mode feeds RAW volumes; eval applies the
+            # deterministic intensity rescale on-device, mirroring
+            # make_steps.forward (train/loop.py) — without it validation
+            # would run on unrescaled inputs and best-checkpoint / early-stop
+            # decisions would be garbage.
+            from gaviko_tpu.ops.augment import eval_rescale
+
+            inputs = eval_rescale(inputs)
         logits = model.apply(
             params, inputs.astype(compute_dtype), model.spec
         ).astype(jnp.float32)

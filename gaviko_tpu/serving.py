@@ -95,11 +95,15 @@ class Predictor:
         def forward(params, vol):
             return self.model.apply(params, vol, spec).astype(jnp.float32)
 
-        # AOT compile for the fixed micro-batch shape.
+        # AOT compile for the fixed micro-batch shape. Lower from a CONCRETE
+        # example batch committed by the same put_volume used at request
+        # time: on direct-attached TPU hosts put_volume pins the row-major
+        # layout (utils/layouts.py), and an executable lowered from a
+        # ShapeDtypeStruct would bake the DEFAULT layout instead — the AOT
+        # argument check then rejects every request batch.
+        example = put_volume(np.zeros(shape, np.float32), cdtype)
         self._compiled = (
-            jax.jit(forward)
-            .lower(self.params, jax.ShapeDtypeStruct(shape, cdtype))
-            .compile()
+            jax.jit(forward).lower(self.params, example).compile()
         )
         logging.info(f"Predictor ready: micro-batch {shape}, {dtype}")
 

@@ -484,6 +484,11 @@ def _run_training(config: dict, model: Model, params: Dict, loaders,
         # ---- validation ----
         val_stats = []
         for index_val, (inputs, labels, n_valid) in enumerate(val_loader):
+            # Multi-host: assemble the global batch from this host's slice
+            # exactly like the train loop (identity on a single process) —
+            # the sharded eval step expects the GLOBAL array, not the
+            # per-host slice.
+            inputs, labels = global_batch(inputs, labels)
             inputs = put_volume(inputs)
             labels = jnp.asarray(labels)
             loss, correct, _ = eval_step(trainable, frozen, inputs, labels)
@@ -560,6 +565,11 @@ def _run_training(config: dict, model: Model, params: Dict, loaders,
             logging.info(f"There's no improvement for {epoch_since_improvement} epochs.")
             if epoch_since_improvement >= patience:
                 logging.info("The training halted by early stopping criterion.")
+                # Persist THIS epoch's boundary state before leaving: the
+                # loop's end-of-body _save_resume is skipped by the break,
+                # and a later rerun with a higher patience/num_epochs would
+                # otherwise replay an already-completed epoch.
+                _save_resume(current_epoch)
                 break
         logging.info(
             f"Epoch {epoch + 1}: loss {train_loss:.4f} acc {train_acc*100:.2f}% | "

@@ -225,3 +225,38 @@ def test_method_training_roundtrip(method, tmp_path):
     metrics = eval_mod.evaluate(config)
     assert 0.0 <= metrics["accuracy"] <= 1.0, method
     assert os.path.exists(metrics["csv"])
+
+
+def test_pure_bf16_training_saves_torch_loadable_checkpoint(tmp_path):
+    """pure_bf16 keeps trainable params in bf16; the best-checkpoint save
+    must survive that (torch.from_numpy rejects ml_dtypes.bfloat16 outright
+    — regression: the first val improvement used to crash the whole run).
+    The saved .pt must hold real torch bfloat16 tensors and round-trip
+    bit-exactly through load_checkpoint."""
+    import train as train_mod
+
+    root = str(tmp_path)
+    csv_path, volumes = make_synth_dataset(root)
+    config = tiny_config(root, csv_path, volumes, epochs=1)
+    config["train"]["precision"] = "pure_bf16"
+
+    result = train_mod.train(config)
+    path = result["best_ckpt_path"]
+    assert path and os.path.exists(path)
+
+    import ml_dtypes
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    assert any(v.dtype == torch.bfloat16 for v in sd.values())
+
+    from gaviko_tpu.weights.torch_io import load_checkpoint
+
+    back = load_checkpoint(path)
+    for k, v in back.items():
+        want = np.asarray(result["params"][k])
+        assert v.dtype == want.dtype, (k, v.dtype, want.dtype)
+        if v.dtype == np.dtype(ml_dtypes.bfloat16):
+            assert np.array_equal(v.view(np.uint16), want.view(np.uint16)), k
+        else:
+            assert np.array_equal(v, want), k

@@ -132,3 +132,21 @@ def test_int8_gaviko_logit_budget():
     quant = model.apply(qparams, vol, model.spec)
     rel = float(jnp.mean(jnp.abs(quant - base)) / jnp.mean(jnp.abs(base)))
     assert rel < 5e-2, rel
+
+
+def test_quantize_backbone_refuses_ssf_params():
+    """SSF blocks bypass the int8-gated core paths (ssf_ada sits between LN
+    and every GEMM), so quantize_backbone must return the params unchanged
+    (regression: it used to add ~25% of resident sidecar memory that no code
+    path consumed, silently serving full precision)."""
+    import jax.numpy as jnp
+
+    from gaviko_tpu.ops.int8_linear import INT8_SUFFIX, quantize_backbone
+
+    params = {
+        "transformer.layers.0.0.to_qkv.weight": jnp.ones((24, 8), jnp.bfloat16),
+        "transformer.layers.0.0.ssf_scale_1": jnp.ones((8,), jnp.bfloat16),
+    }
+    out = quantize_backbone(params, 1)
+    assert set(out) == set(params)
+    assert not any(k.endswith(INT8_SUFFIX) for k in out)

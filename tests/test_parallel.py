@@ -93,3 +93,32 @@ def test_zero_opt_state_sharded_over_data():
     # Adam mu for a big weight should be sharded over data.
     mu = o_sh[0].mu["transformer.layers.0.0.to_qkv.weight"]
     assert "data" in str(mu.spec)
+
+
+def test_parallel_eval_step_applies_eval_rescale_under_device_augment():
+    """With device_augment the loaders feed RAW volumes; the sharded eval
+    step must apply the deterministic intensity rescale exactly like the
+    single-device make_steps path (regression: it used to evaluate on
+    unrescaled inputs, corrupting best-checkpoint / early-stop decisions)."""
+    model, params = _setup(
+        method="fft", dropout=0.0, emb_dropout=0.0,
+    )
+    trainable, frozen = split_params(model, params)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(trainable)
+    mesh = make_mesh(data=2, model=2)
+    _, eval_step, (t_p, f_p, _) = make_parallel_train_step(
+        model, cross_entropy_loss, tx, mesh, trainable, frozen, opt_state,
+        device_augment=True,
+    )
+
+    rng = np.random.RandomState(0)
+    # Raw (unrescaled) volumes in an arbitrary intensity range.
+    raw = jnp.asarray((rng.rand(4, 1, 24, 32, 32) * 900 - 100).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 5, size=4).astype(np.int32))
+    loss_p, correct_p, logits_p = eval_step(t_p, f_p, raw, labels)
+
+    from gaviko_tpu.ops.augment import eval_rescale
+
+    want = np.asarray(model.apply(params, eval_rescale(raw), model.spec))
+    np.testing.assert_allclose(np.asarray(logits_p), want, atol=1e-4)

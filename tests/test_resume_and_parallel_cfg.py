@@ -288,3 +288,31 @@ def test_gaviko_dhw_derived_and_validated():
     # ...but a wrong token count is a clean ValueError.
     with pytest.raises(ValueError, match="DHW"):
         make_spec(dict(base, DHW=[10, 10, 10]))
+
+
+def test_early_stop_saves_current_epoch_resume_state(tmp_path):
+    """Early stopping must persist THIS epoch's boundary state before
+    breaking (regression: the break used to skip the end-of-loop
+    _save_resume, leaving resume_state one epoch stale so a rerun with a
+    higher patience replayed an already-completed epoch)."""
+    import json
+
+    import train as train_mod
+
+    root = str(tmp_path)
+    csv_path, volumes = make_synth_dataset(root)
+    config = tiny_config(root, csv_path, volumes, method="bitfit", epochs=10)
+    config["train"]["patience"] = 1
+
+    r = train_mod.train(config)
+    log = pd.read_csv(r["csv_log"])
+    epochs_completed = int(log["epoch"].max()) + 1
+    assert epochs_completed < 10, "early stopping never fired"
+
+    state_path = os.path.join(
+        root, "weights", "experiments", "bitfit", "resume_state.npz"
+    )
+    with np.load(state_path) as z:
+        meta = json.loads(bytes(z["meta::json"]).decode())
+    assert meta["epoch"] == epochs_completed
+    assert meta["step_in_epoch"] == 0
