@@ -67,7 +67,28 @@ def _timeit(fn, *args):
     return (time.time() - t0) / ITERS
 
 
-def bench_infer_b16(batch=INFER_BATCH, with_int8=True):
+def _make_chain(model):
+    """Iteration chain through the patch-embed bias: it is an OPERAND of
+    the patchify Pallas call (an opaque custom call — XLA cannot split
+    it), so the whole forward from the first kernel on depends on the
+    carry and nothing hoists. (A head-bias carry was hoisted: additive
+    at the output, XLA pulled the entire forward out of the loop. A
+    cls-token carry leaves patchify hoistable.) The carry update is
+    O(dim) — the old full-volume carry paid a 196 MB elementwise
+    add+write (~0.5 ms/iter) inside every measured iteration."""
+    import jax
+    import jax.numpy as jnp
+
+    def chain(params, x):
+        def body(i, c):
+            out = model.apply({**params, "conv_proj.0.bias": c}, x, model.spec)
+            return c + out[0, 0].astype(c.dtype) * jnp.asarray(1e-30, c.dtype)
+        return jax.lax.fori_loop(0, ITERS, body, params["conv_proj.0.bias"])[0]
+
+    return jax.jit(chain)
+
+
+def _infer_setup(batch):
     import jax
     import jax.numpy as jnp
 
@@ -86,34 +107,26 @@ def bench_infer_b16(batch=INFER_BATCH, with_int8=True):
     vol = jnp.asarray(
         np.random.RandomState(0).rand(batch, 1, 120, 160, 160)
     ).astype(jnp.bfloat16)
+    return model, params, vol
 
-    def chain(params, x):
-        # Iteration chain through the patch-embed bias: it is an OPERAND of
-        # the patchify Pallas call (an opaque custom call — XLA cannot split
-        # it), so the whole forward from the first kernel on depends on the
-        # carry and nothing hoists. (A head-bias carry was hoisted: additive
-        # at the output, XLA pulled the entire forward out of the loop. A
-        # cls-token carry leaves patchify hoistable.) The carry update is
-        # O(dim) — the old full-volume carry paid a 196 MB elementwise
-        # add+write (~0.5 ms/iter) inside every measured iteration.
-        def body(i, c):
-            out = model.apply({**params, "conv_proj.0.bias": c}, x, model.spec)
-            return c + out[0, 0].astype(c.dtype) * jnp.asarray(1e-30, c.dtype)
-        return jax.lax.fori_loop(0, ITERS, body, params["conv_proj.0.bias"])[0]
 
-    dt = _timeit(jax.jit(chain), params, vol)
-    if not with_int8:
-        return batch / dt
+def bench_infer_b16(batch=INFER_BATCH):
+    model, params, vol = _infer_setup(batch)
+    dt = _timeit(_make_chain(model), params, vol)
+    return batch / dt
 
-    # Opt-in w8a8 serving mode on the same model/chain (serve.py --quantize
-    # int8): int8 MXU GEMMs with in-kernel dynamic activation quant. The
-    # bf16 number above stays the headline; this is the deployed serving
-    # figure (probe: rel logit MAE 0.85% vs bf16, argmax agreement 1.000).
+
+def bench_infer_b16_int8(batch=INFER_BATCH):
+    """Opt-in w8a8 serving mode on the same model/chain (serve.py --quantize
+    int8): int8 MXU GEMMs with in-kernel dynamic activation quant. The bf16
+    number stays the headline; this is the deployed serving figure (probe:
+    rel logit MAE 0.85% vs bf16, argmax agreement 1.000)."""
     from gaviko_tpu.ops.int8_linear import quantize_backbone
 
+    model, params, vol = _infer_setup(batch)
     q = quantize_backbone(params, model.spec.depth)
-    dt_q = _timeit(jax.jit(chain), q, vol)
-    return batch / dt, batch / dt_q
+    dt_q = _timeit(_make_chain(model), q, vol)
+    return batch / dt_q
 
 
 def bench_train_b16(batch=TRAIN_BATCH):
@@ -177,22 +190,7 @@ def bench_gaviko_l16():
     vol = jnp.asarray(
         np.random.RandomState(0).rand(GAVIKO_BATCH, 1, 120, 160, 160)
     ).astype(jnp.bfloat16)
-
-    def chain(params, x):
-        # Iteration chain through the patch-embed bias: it is an OPERAND of
-        # the patchify Pallas call (an opaque custom call — XLA cannot split
-        # it), so the whole forward from the first kernel on depends on the
-        # carry and nothing hoists. (A head-bias carry was hoisted: additive
-        # at the output, XLA pulled the entire forward out of the loop. A
-        # cls-token carry leaves patchify hoistable.) The carry update is
-        # O(dim) — the old full-volume carry paid a 196 MB elementwise
-        # add+write (~0.5 ms/iter) inside every measured iteration.
-        def body(i, c):
-            out = model.apply({**params, "conv_proj.0.bias": c}, x, model.spec)
-            return c + out[0, 0].astype(c.dtype) * jnp.asarray(1e-30, c.dtype)
-        return jax.lax.fori_loop(0, ITERS, body, params["conv_proj.0.bias"])[0]
-
-    dt = _timeit(jax.jit(chain), params, vol)
+    dt = _timeit(_make_chain(model), params, vol)
     return GAVIKO_BATCH / dt
 
 
@@ -247,82 +245,114 @@ def bench_logit_mae():
     return float(np.abs(flash - xla).mean() / np.abs(xla).mean())
 
 
-class _BenchTimeout(RuntimeError):
-    pass
+# ---------------------------------------------------------------------------
+# Harness: each metric runs in its OWN subprocess with an external timeout.
+#
+# The axon relay has been observed DOWN for hours, and in that state a jitted
+# dispatch HANGS inside the C++ PJRT call with the GIL released — a Python
+# in-process watchdog (signal handler, try/except) can never fire because the
+# main thread never returns to the bytecode loop (CLAUDE.md mandates
+# subprocess timeouts for exactly this). So main() forks `bench.py --only
+# <metric>` per metric and kills it from OUTSIDE on expiry; a hang loses one
+# metric, not the round's record. The disk compile cache is shared, so the
+# per-subprocess cost is one jax init (~seconds).
+#
+# Budget: GAVIKO_BENCH_TIMEOUT seconds PER METRIC (default 2700 — a fully
+# cold exact-stripe train compile is ~10 min; cached reruns take minutes),
+# 0 disables the harness and runs everything in-process.
+# ---------------------------------------------------------------------------
+
+# Ordered registry: headline first (its failure is fatal; later metrics are
+# salvageable extras). Values are zero-arg callables -> float.
+# The comments that used to sit inline in main():
+# - infer_b32: rounds 1-2 benched at B32; keeping that row makes the
+#   cross-round series an apples-to-apples comparison (B64 is the optimum).
+# - train16: the optimizer pass and per-kernel dispatch tails are
+#   batch-independent, so B16 peaks the train sweep (B8 172 / B16 185 /
+#   B32 181 vol/s — perf_probe.py train_batch_sweep). B8 stays the headline
+#   train row (the reference's batch size).
+_METRICS = {
+    "infer": bench_infer_b16,
+    "infer_b32": lambda: bench_infer_b16(batch=INFER_BATCH_REF),
+    "train": bench_train_b16,
+    "train16": lambda: bench_train_b16(batch=16),
+    "gaviko": bench_gaviko_l16,
+    "infer_int8": bench_infer_b16_int8,
+    "mae": bench_logit_mae,
+    # Hidden harness self-test hooks (no device use; see tests/).
+    "_test_fast": lambda: 123.5,
+    "_test_sleep": lambda: time.sleep(600) or 0.0,
+}
+
+_RESULT_TAG = "GAVIKO_BENCH_RESULT "
 
 
-def _arm_watchdog():
-    """SIGALRM watchdog for the relay-down failure mode.
+def _run_metric_subprocess(name: str, timeout_s: float):
+    """Run one metric in a child process; None on timeout/failure."""
+    import subprocess
+    import sys
 
-    The axon relay has been observed DOWN for hours, and in that state a
-    jitted dispatch HANGS rather than raises (CLAUDE.md) — an unguarded
-    bench run at round end would then record nothing even for the metrics
-    that already completed. On expiry the in-flight benchmark is abandoned
-    via an exception; main() prints the headline + whatever extras
-    finished. Budget: GAVIKO_BENCH_TIMEOUT seconds (default 5400 — roughly 2x a
-    fully cold exact-stripe compile of all six metrics; cached reruns
-    take minutes), 0 disables. Main-thread only; degrades to no
-    watchdog elsewhere.
-    """
-    import signal
-    import threading
-
-    budget = int(os.environ.get("GAVIKO_BENCH_TIMEOUT", "5400"))
-    if budget <= 0 or threading.current_thread() is not threading.main_thread():
-        return
-    def _expire(signum, frame):
-        raise _BenchTimeout(f"bench watchdog expired after {budget}s")
-    signal.signal(signal.SIGALRM, _expire)
-    signal.alarm(budget)
-
-
-def main():
-    _arm_watchdog()
-    # Headline first: if the relay dies mid-run, the watchdog salvages the
-    # metrics that completed (a timeout BEFORE the headline stays a fatal
-    # error — better no record than a bogus one).
-    infer, infer_int8 = bench_infer_b16()
-    infer_ref = train = train16 = gaviko = logit_mae = None
+    cmd = [sys.executable, os.path.abspath(__file__), "--only", name]
     try:
-        # Rounds 1-2 benched at B32; keep that row so the cross-round series
-        # stays an apples-to-apples comparison (B64 is the measured optimum).
-        infer_ref = bench_infer_b16(batch=INFER_BATCH_REF, with_int8=False)
-        train = bench_train_b16()
-        # Throughput-optimal train batch: the optimizer pass and per-kernel
-        # dispatch tails are batch-independent, so B16 peaks the sweep
-        # (B8 172 / B16 185 / B32 181 vol/s — perf_probe.py train_batch_sweep).
-        # B8 above stays the headline train row (the reference's batch size);
-        # this row records what the chip delivers when batch is free to float.
-        train16 = bench_train_b16(batch=16)
-        gaviko = bench_gaviko_l16()
-        logit_mae = bench_logit_mae()
-    except _BenchTimeout as e:
-        import sys
-        print(f"bench watchdog: {e}; emitting completed metrics only",
-              file=sys.stderr, flush=True)
-    else:
-        import signal
-        if hasattr(signal, "alarm"):
-            signal.alarm(0)
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"bench: metric {name!r} timed out after {timeout_s:.0f}s "
+              "(relay hang?) — skipped", file=sys.stderr, flush=True)
+        return None
+    if r.returncode != 0:
+        print(f"bench: metric {name!r} failed (rc={r.returncode}):\n"
+              f"{r.stderr[-2000:]}", file=sys.stderr, flush=True)
+        return None
+    for line in reversed(r.stdout.splitlines()):
+        if line.startswith(_RESULT_TAG):
+            return json.loads(line[len(_RESULT_TAG):])["value"]
+    print(f"bench: metric {name!r} produced no result line", file=sys.stderr,
+          flush=True)
+    return None
+
+
+def _collect(per_metric_timeout: float | None):
+    """-> {metric_name: value | None} for every public metric."""
+    vals = {}
+    for name, fn in _METRICS.items():
+        if name.startswith("_test"):
+            continue
+        if per_metric_timeout is None:
+            vals[name] = fn()
+        else:
+            vals[name] = _run_metric_subprocess(name, per_metric_timeout)
+    return vals
+
+
+def _assemble(vals: dict) -> dict:
+    """Final one-line JSON payload from collected metric values. The
+    headline is required; missing extras are dropped (salvage semantics)."""
+    infer = vals.get("infer")
+    if infer is None:
+        raise RuntimeError(
+            "bench: the headline inference metric did not complete — "
+            "refusing to emit a record without it"
+        )
     rows = [
-        (infer_ref,
+        (vals.get("infer_b32"),
          "vit-b16 inference throughput at batch 32 (the rounds-1/2 batch, "
          "for cross-round comparability)",
          "volumes/sec/chip", TARGET_INFER),
-        (train,
+        (vals.get("train"),
          "vit-b16 fft train-step throughput (bf16 compute, batch 8; "
          "measured single-chip GEMM+VPU floor for this workload is "
          "~205 vol/s = 0.91x target — see ARCHITECTURE.md train-step "
          "decomposition)",
          "volumes/sec/chip", TARGET_TRAIN),
-        (train16,
+        (vals.get("train16"),
          "vit-b16 fft train-step throughput at the throughput-optimal "
          "batch (bf16 compute, batch 16)",
          "volumes/sec/chip", TARGET_TRAIN),
-        (gaviko,
+        (vals.get("gaviko"),
          "GAViKO vit-l16 inference throughput (bf16, batch 8)",
          "volumes/sec/chip", TARGET_GAVIKO),
-        (infer_int8,
+        (vals.get("infer_int8"),
          "vit-b16 inference throughput, w8a8 int8 serving mode (serve.py "
          "--quantize int8; batch 64; rel logit MAE 0.85% vs bf16, argmax "
          "agreement 1.0)",
@@ -338,6 +368,7 @@ def main():
         for value, metric, unit, target in rows
         if value is not None
     ]
+    logit_mae = vals.get("mae")
     if logit_mae is not None:
         extra.append({
             "metric": "on-chip compiled-kernels vs XLA-twin relative "
@@ -347,15 +378,29 @@ def main():
             "unit": "MAE / mean abs logit",
             "vs_baseline": round(1e-2 / max(logit_mae, 1e-9), 3),
         })
-    print(json.dumps({
+    return {
         "metric": "vit-b16 MRI inference throughput (120x160x160, bf16, "
                   "batch 64 = measured throughput-optimal)",
         "value": round(infer, 1),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(infer / TARGET_INFER, 3),
         "extra": extra,
-    }))
+    }
+
+
+def main():
+    budget = float(os.environ.get("GAVIKO_BENCH_TIMEOUT", "2700"))
+    vals = _collect(budget if budget > 0 else None)
+    print(json.dumps(_assemble(vals)))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--only":
+        name = sys.argv[2]
+        value = _METRICS[name]()
+        print(_RESULT_TAG + json.dumps({"name": name, "value": value}),
+              flush=True)
+    else:
+        main()

@@ -22,7 +22,7 @@ import pandas as pd
 from gaviko_tpu.config import METHODS, apply_method_override, load_config
 from gaviko_tpu.utils.layouts import put_volume
 from gaviko_tpu.data import transforms as T
-from gaviko_tpu.data.pipeline import Loader, dataset_from_dataframe, split_dataframe
+from gaviko_tpu.data.pipeline import dataset_from_dataframe, split_dataframe
 from gaviko_tpu.models.factory import build_model
 from gaviko_tpu.models.pretrained import build_params
 from gaviko_tpu.train.loop import make_steps, split_params
@@ -120,7 +120,7 @@ def evaluate(config: dict) -> dict:
     )
     out_df.to_csv(csv_path, index=False)
     logging.info(f"Results saved to {csv_path}")
-    with open(csv_path.replace(".csv", "") + "_metrics.txt", "w") as f:
+    with open(os.path.splitext(csv_path)[0] + "_metrics.txt", "w") as f:
         f.write(f"Test Accuracy: {test_acc}\n")
         f.write(f"Test Quadratic Kappa: {test_qkv}\n")
         f.write(f"Test AUC: {test_auc}\n")

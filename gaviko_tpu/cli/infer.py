@@ -13,13 +13,12 @@ import logging
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from gaviko_tpu.config import METHODS, apply_method_override, load_config
 from gaviko_tpu.utils.layouts import put_volume
 from gaviko_tpu.data import transforms as T
-from gaviko_tpu.data.pipeline import Loader, dataset_from_dataframe, scan_folder
+from gaviko_tpu.data.pipeline import dataset_from_dataframe, scan_folder
 from gaviko_tpu.models.factory import build_model
 from gaviko_tpu.models.pretrained import build_params
 from gaviko_tpu.train.loop import make_steps, split_params

@@ -18,6 +18,21 @@ from gaviko_tpu.utils.compile_cache import enable_compilation_cache
 enable_compilation_cache()  # persistent XLA cache: repeat runs skip the relay compile
 
 
+def _parse_mesh(parser, mesh: str | None):
+    """--mesh "data,tp" -> (data, tp) with arity/value checks at parse time
+    (a malformed value otherwise surfaces minutes later as an unrelated
+    TypeError deep inside Predictor, after model build + checkpoint load)."""
+    if not mesh:
+        return None
+    try:
+        parts = tuple(int(x) for x in mesh.split(","))
+    except ValueError:
+        parser.error(f"--mesh must be two integers 'data,tp', got {mesh!r}")
+    if len(parts) != 2 or any(p < 1 for p in parts):
+        parser.error(f"--mesh must be two positive integers 'data,tp', got {mesh!r}")
+    return parts
+
+
 def main():
     parser = argparse.ArgumentParser(description="Serve a gaviko-tpu model")
     parser.add_argument("--config", type=str, required=True)
@@ -49,8 +64,7 @@ def main():
         dtype=args.dtype,
         pretrained_dir=config["model"].get("pretrained_dir", "./pretrained"),
         quantize=args.quantize,
-        mesh_shape=tuple(int(x) for x in args.mesh.split(","))
-        if args.mesh else None,
+        mesh_shape=_parse_mesh(parser, args.mesh),
     )
     serve(
         predictor, host=args.host, port=args.port,

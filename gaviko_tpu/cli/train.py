@@ -68,10 +68,15 @@ def make_loaders(config: dict):
     from gaviko_tpu.data.pipeline import pick_loader
 
     loader_cls = pick_loader(config)  # native threads | grain runtime
+    # train.seed drives the data stream too (shuffle order + host-side
+    # augmentation draws), not just the jax param/dropout key — otherwise
+    # every seed sees bit-identical batches and seed-ensemble variance is
+    # understated.
+    seed = int(config.get("train", {}).get("seed", 0))
     train_loader = loader_cls(train_ds, bs, shuffle=True, num_workers=nw,
-                              pad_to_batch=True, shard=shard)
+                              seed=seed, pad_to_batch=True, shard=shard)
     val_loader = loader_cls(val_ds, bs, shuffle=False, num_workers=nw,
-                            pad_to_batch=True, shard=shard)
+                            seed=seed, pad_to_batch=True, shard=shard)
     return train_loader, val_loader, len(train_ds), len(val_ds)
 
 

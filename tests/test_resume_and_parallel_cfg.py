@@ -316,3 +316,27 @@ def test_early_stop_saves_current_epoch_resume_state(tmp_path):
         meta = json.loads(bytes(z["meta::json"]).decode())
     assert meta["epoch"] == epochs_completed
     assert meta["step_in_epoch"] == 0
+
+
+def test_train_seed_drives_data_stream(tmp_path):
+    """train.seed must reach the Loader: shuffle order (and host-side
+    augmentation draws) differ across seeds (regression: every seed used to
+    see the bit-identical stream, understating seed-ensemble variance)."""
+    import train as train_mod
+
+    root = str(tmp_path)
+    csv_path, volumes = make_synth_dataset(root, n_train=8, n_val=2)
+
+    def first_batch(seed):
+        config = tiny_config(root, csv_path, volumes)
+        config["train"]["seed"] = seed
+        train_loader, _, _, _ = train_mod.make_loaders(config)
+        train_loader.set_epoch(0)
+        inputs, labels, _ = next(iter(train_loader))
+        return np.asarray(inputs), np.asarray(labels)
+
+    i0, l0 = first_batch(0)
+    i0b, _ = first_batch(0)
+    i1, l1 = first_batch(1)
+    np.testing.assert_array_equal(i0, i0b)  # same seed -> same stream
+    assert not (np.array_equal(i0, i1) and np.array_equal(l0, l1))
