@@ -14,6 +14,8 @@ Workloads (BASELINE.md "workload shape", (1, 120, 160, 160) volumes):
   configs/vit.yaml fp16: true).
 - flagship: GAViKO vit-l16 inference at batch 8 (gaviko.yaml's backbone) —
   dual-stream attention, GPA fusion, masked local attention.
+- flagship train: GAViKO vit-l16 PEFT train step at batch 4 (gaviko.yaml's
+  batch) — frozen backbone, trainable head|prompt|local_attn, focal loss.
 
 Methodology: the axon relay adds ~25 ms fixed overhead per dispatch and
 block_until_ready does not sync through it, so a single timed call
@@ -48,10 +50,15 @@ INFER_BATCH = 64       # headline: throughput-optimal batch (see sweep note)
 INFER_BATCH_REF = 32   # rounds-1/2 self-chosen batch, kept for comparability
 TRAIN_BATCH = 8
 GAVIKO_BATCH = 8
+GAVIKO_TRAIN_BATCH = 4  # reference gaviko.yaml:7 trains the flagship at B4
 ITERS = 50  # amortizes the ~25 ms axon dispatch to <0.2% of a measurement
 TARGET_INFER = 750.0   # 5x estimated A100 reference inference throughput
 TARGET_TRAIN = 225.0   # 5x estimated A100 reference train throughput
 TARGET_GAVIKO = 150.0  # 5x estimated A100 GAViKO vit-l16 inference
+# GAViKO vit-l16 PEFT train: the ~30 vol/s A100 inference estimate above
+# over a ~2.7x fwd+bwd FLOP ratio (the frozen backbone skips its dW dots
+# but activation grads still traverse every layer) -> ~11 vol/s -> 5x = 55.
+TARGET_GAVIKO_TRAIN = 55.0
 
 
 def _bf16_params(jax, jnp, params):
@@ -171,13 +178,8 @@ def bench_train_b16(batch=TRAIN_BATCH):
     return batch / dt
 
 
-def bench_gaviko_l16():
-    import jax
-    import jax.numpy as jnp
-
-    from gaviko_tpu.models.factory import build_model
-
-    cfg = dict(
+def _gaviko_cfg():
+    return dict(
         image_size=160, image_patch_size=16, frames=120, frame_patch_size=12,
         num_classes=5, channels=1, pool="cls", backbone="vit-l16",
         method="gaviko", freeze_vit=True, num_prompts=32,
@@ -185,13 +187,65 @@ def bench_gaviko_l16():
         DHW=[10, 10, 10], attn_drop=0.2, proj_drop=0.2, share_factor=1,
         dropout=0.1, emb_dropout=0.1, gelu="tanh",
     )
-    model = build_model(cfg)
+
+
+def bench_gaviko_l16():
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.models.factory import build_model
+
+    model = build_model(_gaviko_cfg())
     params = _bf16_params(jax, jnp, model.init(jax.random.PRNGKey(0), model.spec))
     vol = jnp.asarray(
         np.random.RandomState(0).rand(GAVIKO_BATCH, 1, 120, 160, 160)
     ).astype(jnp.bfloat16)
     dt = _timeit(_make_chain(model), params, vol)
     return GAVIKO_BATCH / dt
+
+
+def bench_gaviko_l16_train():
+    """GAViKO vit-l16 PEFT train step at batch 4 (gaviko.yaml:7): the
+    reference's actual headline use case — training the flagship model with
+    the backbone frozen and head|prompt|local_attn trainable (ref
+    src/model/gaviko.py:429-434), focal loss gamma=1.2 (ref src/train.py:177),
+    global-norm clip 1.0 + Adam, pure bf16 like the train headline. Gradients
+    flow only to the trainable subset (the PEFT contract, same split as
+    train/loop.py); the frozen backbone is a closure constant, so its dW
+    dots are never built."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaviko_tpu.models.factory import build_model
+    from gaviko_tpu.train import fused_optim
+    from gaviko_tpu.train.losses import focal_loss
+
+    model = build_model(_gaviko_cfg())
+    params = _bf16_params(jax, jnp, model.init(jax.random.PRNGKey(0), model.spec))
+    trainable = {k: v for k, v in params.items() if model.trainable(k)}
+    frozen = {k: v for k, v in params.items() if not model.trainable(k)}
+    opt_state = fused_optim.init(trainable)
+    rng = np.random.RandomState(0)
+    batch = GAVIKO_TRAIN_BATCH
+    vol = jnp.asarray(rng.rand(batch, 1, 120, 160, 160)).astype(jnp.bfloat16)
+    labels = jnp.asarray(rng.randint(0, 5, size=batch).astype(np.int32))
+    key = jax.random.PRNGKey(1)
+
+    def loss_fn(tr, step_rng):
+        logits = model.apply({**frozen, **tr}, vol, model.spec, train=True,
+                             rng=step_rng)
+        return focal_loss(logits.astype(jnp.float32), labels, gamma=1.2)
+
+    def chain(trainable, opt_state):
+        def body(i, carry):
+            tr, o = carry
+            grads = jax.grad(loss_fn)(tr, jax.random.fold_in(key, i))
+            return fused_optim.step(grads, o, tr, 3e-4, clip=1.0, eps=1e-4)
+        tr, _ = jax.lax.fori_loop(0, ITERS, body, (trainable, opt_state))
+        return jax.tree.leaves(tr)[0].astype(jnp.float32).reshape(-1)[0]
+
+    dt = _timeit(jax.jit(chain), trainable, opt_state)
+    return batch / dt
 
 
 def bench_logit_mae():
@@ -277,6 +331,7 @@ _METRICS = {
     "train": bench_train_b16,
     "train16": lambda: bench_train_b16(batch=16),
     "gaviko": bench_gaviko_l16,
+    "gaviko_train": bench_gaviko_l16_train,
     "infer_int8": bench_infer_b16_int8,
     "mae": bench_logit_mae,
     # Hidden harness self-test hooks (no device use; see tests/).
@@ -352,6 +407,11 @@ def _assemble(vals: dict) -> dict:
         (vals.get("gaviko"),
          "GAViKO vit-l16 inference throughput (bf16, batch 8)",
          "volumes/sec/chip", TARGET_GAVIKO),
+        (vals.get("gaviko_train"),
+         "GAViKO vit-l16 PEFT train-step throughput (frozen backbone, "
+         "trainable head|prompt|local_attn, focal loss, bf16, batch 4 = "
+         "the reference gaviko.yaml batch)",
+         "volumes/sec/chip", TARGET_GAVIKO_TRAIN),
         (vals.get("infer_int8"),
          "vit-b16 inference throughput, w8a8 int8 serving mode (serve.py "
          "--quantize int8; batch 64; rel logit MAE 0.85% vs bf16, argmax "

@@ -620,7 +620,13 @@ def _fused_mhsa_bwd(heads, dim_head, scale, n_true, dropout_rate, res, g):
     bwd_budget = (_BWD_VMEM_DEFAULT if use_prng
                   else int(os.environ.get("GAVIKO_BWD_VMEM", "7000000")))
     block_q = _bwd_pick_block_q(n_pad, bwd_budget)
-    if 3 * block_q * n_pad * 4 > 12_000_000:  # degenerate shape: XLA VJP
+    # Degenerate-shape gate: fall back to the XLA VJP when even the smallest
+    # q-block cannot keep the score buffers near VMEM. An explicit env budget
+    # above the gate is honored (whole-K backward experiments) by raising the
+    # Mosaic scoped-VMEM limit to match — v5e has 128 MB behind the 32 MB
+    # default limit.
+    footprint = 3 * block_q * n_pad * 4
+    if footprint > max(12_000_000, bwd_budget):  # degenerate shape: XLA VJP
         return (
             _fused_mhsa_bwd_xla(qkv, seed, g, heads, dim_head, scale, n_true,
                                 dropout_rate),
@@ -669,6 +675,8 @@ def _fused_mhsa_bwd(heads, dim_head, scale, n_true, dropout_rate, res, g):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **({"vmem_limit_bytes": 100 * 1024 * 1024}
+               if footprint > 10_000_000 else {}),
         ),
         interpret=_use_interpret(),
     )(seed, qkv, qkv, qkv, g, o_fwd, ml)
