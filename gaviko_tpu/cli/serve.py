@@ -35,7 +35,10 @@ def _parse_mesh(parser, mesh: str | None):
 
 def main():
     parser = argparse.ArgumentParser(description="Serve a gaviko-tpu model")
-    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="serve a deployment artifact (gaviko-export "
+                             "output) instead of building from --config")
     parser.add_argument("--method", type=str, default="gaviko", choices=list(METHODS))
     parser.add_argument("--checkpoint", type=str, default=None)
     parser.add_argument("--host", type=str, default="127.0.0.1")
@@ -56,16 +59,29 @@ def main():
                         help="reject POST bodies above this size")
     args = parser.parse_args()
 
-    config = load_config(args.config)
-    apply_method_override(config, args.method)
-    setup_logging(log_dir=config["utils"]["log_dir"])
-    predictor = Predictor(
-        config, checkpoint=args.checkpoint, batch_size=args.batch_size,
-        dtype=args.dtype,
-        pretrained_dir=config["model"].get("pretrained_dir", "./pretrained"),
-        quantize=args.quantize,
-        mesh_shape=_parse_mesh(parser, args.mesh),
-    )
+    if (args.config is None) == (args.artifact is None):
+        parser.error("exactly one of --config or --artifact is required")
+    if args.artifact is not None:
+        from gaviko_tpu.deploy import DeployedPredictor
+
+        for flag in ("checkpoint", "quantize", "mesh"):
+            if getattr(args, flag) is not None:
+                parser.error(f"--{flag} is baked into the artifact at "
+                             "export time; not accepted with --artifact")
+        setup_logging(log_dir="./log")
+        predictor = DeployedPredictor(args.artifact)
+    else:
+        config = load_config(args.config)
+        apply_method_override(config, args.method)
+        setup_logging(log_dir=config["utils"]["log_dir"])
+        predictor = Predictor(
+            config, checkpoint=args.checkpoint, batch_size=args.batch_size,
+            dtype=args.dtype,
+            pretrained_dir=config["model"].get(
+                "pretrained_dir", "./pretrained"),
+            quantize=args.quantize,
+            mesh_shape=_parse_mesh(parser, args.mesh),
+        )
     serve(
         predictor, host=args.host, port=args.port,
         auth_token=args.auth_token, checkpoint_dir=args.checkpoint_dir,
