@@ -38,7 +38,19 @@ def main():
     parser.add_argument("--platforms", type=str, default=None,
                         help="comma-separated lowering targets (e.g. 'tpu' "
                              "or 'tpu,cpu'); default: this host's backend")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="'data,tp' — bake a mesh-parallel forward "
+                             "(GSPMD shardings) into the artifact; serving "
+                             "then needs data*tp devices")
     args = parser.parse_args()
+
+    mesh_shape = None
+    if args.mesh is not None:
+        try:
+            d, t = (int(x) for x in args.mesh.split(","))
+            mesh_shape = (d, t)
+        except ValueError:
+            parser.error("--mesh must be 'data,tp' (two integers)")
 
     config = load_config(args.config)
     apply_method_override(config, args.method)
@@ -49,7 +61,7 @@ def main():
         config, args.output, checkpoint=args.checkpoint,
         batch_size=args.batch_size, dtype=args.dtype,
         pretrained_dir=config["model"].get("pretrained_dir", "./pretrained"),
-        quantize=args.quantize, platforms=platforms,
+        quantize=args.quantize, platforms=platforms, mesh_shape=mesh_shape,
     )
     print(f"wrote {args.output} (platforms={meta['platforms']}, "
           f"batch={meta['batch_size']}, dtype={meta['dtype']})")

@@ -74,11 +74,19 @@ def export_artifact(
     pretrained_dir: Optional[str] = "./pretrained",
     quantize: Optional[str] = None,
     platforms: Optional[Sequence[str]] = None,
+    mesh_shape: Optional[tuple] = None,
 ) -> dict:
     """Trace + serialize the model forward and write the artifact zip.
 
     ``config`` is the full config dict (``config['model']`` drives the
     build, same contract as ``Predictor``). Returns the manifest dict.
+
+    ``mesh_shape=(data, tp)`` exports a mesh-parallel forward (same
+    partition rules as ``Predictor(mesh_shape=...)``: batch over ``data``,
+    Megatron-style TP over ``tp``). The GSPMD shardings are baked into the
+    serialized module; serving needs ``data*tp`` devices but NO partition-
+    rule code — ``DeployedPredictor`` reconstructs placements from the
+    module itself.
     """
     import jax
     import jax.numpy as jnp
@@ -112,13 +120,32 @@ def export_artifact(
         k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in params.items()
     }
     vol_spec = jax.ShapeDtypeStruct(vol_shape, cdtype)
+    if mesh_shape is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gaviko_tpu.parallel.mesh import make_mesh, shardings_for_params
+
+        data_ax, tp = mesh_shape
+        if batch_size % data_ax:
+            raise ValueError(
+                f"batch_size {batch_size} must divide the data axis {data_ax}")
+        mesh = make_mesh(data=data_ax, model=tp)
+        p_sh = shardings_for_params(params, mesh, tp=tp > 1)
+        fn = jax.jit(
+            forward,
+            in_shardings=({k: p_sh[k] for k in params},
+                          NamedSharding(mesh, P("data"))),
+            out_shardings=NamedSharding(mesh, P()),
+        )
+    else:
+        fn = jax.jit(forward)
     # Mosaic kernels lower to the `tpu_custom_call` target, which jax.export
     # treats as unstable (the payload is Mosaic IR, versioned separately from
     # StableHLO). We accept it deliberately: the artifact pins its platform,
     # and the manifest records the exporting jax version for auditability.
     disabled = [jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")]
     exported = jax_export.export(
-        jax.jit(forward),
+        fn,
         platforms=tuple(platforms) if platforms else None,
         disabled_checks=disabled,
     )(param_specs, vol_spec)
@@ -142,6 +169,7 @@ def export_artifact(
         "batch_size": batch_size,
         "dtype": dtype,
         "quantize": quantize,
+        "mesh_shape": list(mesh_shape) if mesh_shape else None,
         "num_classes": spec.num_classes,
         "input_shape": list(vol_shape),
         "model_config": config["model"],
@@ -167,6 +195,12 @@ class DeployedPredictor:
     checkpoint onto the artifact's stored weights (the exported module takes
     params as ARGUMENTS, so hot-reload needs no re-export); int8 sidecars of
     overlaid keys are re-quantized so they never go stale.
+
+    ``self.params`` holds the HOST copies (numpy — the overlay/requantize
+    substrate); calls run on a device-committed snapshot so weights transfer
+    once per (re)load, not per request. Mesh artifacts reconstruct their
+    placements from the serialized module's own input shardings — no
+    partition-rule code runs at serve time.
     """
 
     def __init__(self, path: str):
@@ -201,12 +235,70 @@ class DeployedPredictor:
         self.num_classes = int(self.meta["num_classes"])
         self._cdtype = (jnp.bfloat16 if self.meta["dtype"] == "bfloat16"
                         else jnp.float32)
+        self._setup_placements()
+        self._device_params = self._commit_params(self.params)
         from gaviko_tpu.data.transforms import eval_transform
 
         self._transform = eval_transform
+        mesh = self.meta.get("mesh_shape")
         logging.info(
             f"DeployedPredictor ready: {path} (batch {self.batch_size}, "
-            f"{self.meta['dtype']}, platforms {self.meta['platforms']})")
+            f"{self.meta['dtype']}, platforms {self.meta['platforms']}"
+            + (f", mesh data={mesh[0]} x tp={mesh[1]}" if mesh else "") + ")")
+
+    def _setup_placements(self) -> None:
+        """Derive per-leaf device placements from the exported module.
+
+        The module records one sharding per flattened input (params in
+        jax's dict-flatten order — sorted keys — then the volume batch).
+        For mesh artifacts we rebuild a same-shape mesh over the first
+        ``nr_devices`` local devices and let ``Exported.in_shardings_jax``
+        map each recorded sharding onto it (no partition-rule code runs —
+        the placements come from the module itself); single-device
+        artifacts place everything on device 0.
+        """
+        jax = self._jax
+        n = int(self._exported.nr_devices)
+        if len(jax.devices()) < n:
+            raise RuntimeError(
+                f"artifact needs {n} devices (mesh "
+                f"{self.meta.get('mesh_shape')}) but this host has "
+                f"{len(jax.devices())}")
+        devices = tuple(jax.devices()[:n])
+        self._device0 = devices[0]
+        if n == 1:
+            self._param_shardings = None
+            self._batch_sharding = jax.sharding.SingleDeviceSharding(
+                devices[0])
+            return
+        from gaviko_tpu.parallel.mesh import make_mesh
+
+        data_ax, tp = self.meta["mesh_shape"]
+        mesh = make_mesh(data=data_ax, model=tp, devices=devices)
+        flat_keys = sorted(self.params)
+        shardings = self._exported.in_shardings_jax(mesh)
+        if len(shardings) != len(flat_keys) + 1:
+            raise RuntimeError(
+                f"artifact records {len(shardings)} input shardings for "
+                f"{len(flat_keys) + 1} inputs — params/manifest mismatch")
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        self._param_shardings = {
+            k: (s if s is not None else rep)
+            for k, s in zip(flat_keys, shardings[:-1])
+        }
+        self._batch_sharding = (
+            shardings[-1] if shardings[-1] is not None else rep)
+
+    def _commit_params(self, host_params: dict) -> dict:
+        """Transfer host params to their device placements (once per load)."""
+        jax = self._jax
+        if self._param_shardings is None:
+            dev = self._device0
+            return {k: jax.device_put(v, dev) for k, v in host_params.items()}
+        return {
+            k: jax.device_put(v, self._param_shardings[k])
+            for k, v in host_params.items()
+        }
 
     def reload_checkpoint(self, checkpoint: Optional[str]) -> None:
         """Overlay a trainable-only ``.pt`` checkpoint onto the artifact's
@@ -240,13 +332,17 @@ class DeployedPredictor:
                 w_i8, scale = quantize_weight(self._jnp.asarray(params[k]))
                 params[sidecar] = np.asarray(w_i8)
                 params[k + "::int8_scale"] = np.asarray(scale)
+        device_params = self._commit_params(params)
+        # Atomic swap of BOTH views; in-flight predicts finish on the old
+        # snapshot they captured at entry.
         self.params = params
+        self._device_params = device_params
         logging.info(f"DeployedPredictor reloaded {checkpoint!r}")
 
     def predict_logits(self, volumes: Sequence[np.ndarray]) -> np.ndarray:
         """volumes: list of (D, H, W) or (C, D, H, W) arrays -> [n, classes]."""
-        jnp = self._jnp
-        params = self.params  # snapshot: concurrent reload can't mix chunks
+        jax, jnp = self._jax, self._jnp
+        params = self._device_params  # snapshot: reload can't mix chunks
         vols = [
             self._transform(v if v.ndim == 4 else np.expand_dims(v, 0))
             for v in volumes
@@ -257,7 +353,9 @@ class DeployedPredictor:
             n = len(chunk)
             if n < self.batch_size:
                 chunk = chunk + [np.zeros_like(chunk[0])] * (self.batch_size - n)
-            batch = jnp.asarray(np.stack(chunk)).astype(self._cdtype)
+            batch = jax.device_put(
+                np.stack(chunk), self._batch_sharding
+            ).astype(self._cdtype)
             logits = np.asarray(self._exported.call(params, batch))
             outs.append(logits[:n])
         return (np.concatenate(outs, axis=0) if outs

@@ -155,6 +155,59 @@ def test_int8_export_and_sidecar_refresh(tmp_path_factory, tmp_path):
     assert not np.array_equal(np.asarray(dep.params[sidecars[0]]), old_sidecar)
 
 
+def test_mesh_artifact_matches_single_device(exported, tmp_path):
+    """DP2xTP2 artifact: shardings baked at export, placements reconstructed
+    from the module's own input shardings at load — logits must match the
+    single-device artifact."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    config, single_path, _ = exported
+    path = str(tmp_path / "mesh.gaviko")
+    meta = export_artifact(
+        config, path, batch_size=2, dtype="float32", pretrained_dir=None,
+        mesh_shape=(2, 2),
+    )
+    assert meta["mesh_shape"] == [2, 2]
+    dep = DeployedPredictor(path)
+    single = DeployedPredictor(single_path)
+    rng = np.random.RandomState(7)
+    vols = [rng.rand(24, 32, 32).astype(np.float32) for _ in range(3)]
+    np.testing.assert_allclose(
+        dep.predict_logits(vols), single.predict_logits(vols), atol=2e-5)
+
+    # Hot reload works on the mesh path too (re-commits sharded params).
+    import torch
+
+    shift = np.arange(5, dtype=np.float32)
+    ckpt = {"mlp_head.bias": torch.tensor(
+        np.asarray(dep.params["mlp_head.bias"], np.float32) + shift)}
+    p = str(tmp_path / "mesh_overlay.pt")
+    torch.save(ckpt, p)
+    before = dep.predict_logits(vols[:1])
+    dep.reload_checkpoint(p)
+    after = dep.predict_logits(vols[:1])
+    np.testing.assert_allclose(after - before, shift[None], atol=1e-4)
+
+
+def test_mesh_artifact_bad_batch_divisibility(exported):
+    config, _, _ = exported
+    with pytest.raises(ValueError, match="divide the data axis"):
+        export_artifact(config, "/dev/null", batch_size=3, dtype="float32",
+                        pretrained_dir=None, mesh_shape=(2, 2))
+
+
+def test_params_are_device_resident(exported):
+    """Weights must transfer at load time, not per request."""
+    config, path, _ = exported
+    dep = DeployedPredictor(path)
+    import jax
+
+    for v in dep._device_params.values():
+        assert isinstance(v, jax.Array)
+
+
 def test_serve_accepts_deployed_predictor(exported):
     import threading
     import urllib.request
