@@ -341,6 +341,49 @@ _METRICS = {
 
 _RESULT_TAG = "GAVIKO_BENCH_RESULT "
 
+# One tiny jitted dispatch: exits fast when the device path is healthy,
+# HANGS (not raises) when the axon relay is down — health == timely exit.
+_PROBE_SNIPPET = (
+    "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+    "print(float(jax.jit(lambda a: (a @ a).sum())(x)))"
+)
+
+
+def _relay_healthy(timeout_s: float = 150.0) -> bool:
+    """Probe the device path in a subprocess (in-process watchdogs can't
+    fire during the relay-down hang — GIL released in the PJRT call)."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE_SNIPPET],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_relay(budget_s: float) -> float:
+    """Probe until healthy or the wait budget runs out; the relay usually
+    self-recovers within minutes, but has been observed down for hours.
+    Returns the UNUSED budget if it came up, or -1.0 if it never did (so
+    the caller can skip the remaining metrics' probes cheaply)."""
+    import sys
+    import time as _time
+
+    start = _time.monotonic()
+    deadline = start + max(budget_s, 0.0)
+    while True:
+        if _relay_healthy():
+            return max(budget_s - (_time.monotonic() - start), 0.0)
+        remaining = deadline - _time.monotonic()
+        if remaining <= 0:
+            return -1.0
+        print(f"bench: device probe failed (relay down?) — retrying, "
+              f"{remaining:.0f}s of wait budget left",
+              file=sys.stderr, flush=True)
+        _time.sleep(min(120.0, remaining))
+
 
 def _run_metric_subprocess(name: str, timeout_s: float):
     """Run one metric in a child process; None on timeout/failure."""
@@ -368,15 +411,32 @@ def _run_metric_subprocess(name: str, timeout_s: float):
 
 
 def _collect(per_metric_timeout: float | None):
-    """-> {metric_name: value | None} for every public metric."""
+    """-> {metric_name: value | None} for every public metric.
+
+    Before each metric the device path is health-probed: a down relay
+    would otherwise burn the FULL per-metric timeout per metric (hours
+    total) learning nothing. The shared wait budget
+    (GAVIKO_BENCH_RELAY_WAIT seconds, default 3600) is consumed only
+    while actually waiting; once exhausted, all remaining metrics are
+    skipped immediately."""
+    import sys
+
+    wait_budget = float(os.environ.get("GAVIKO_BENCH_RELAY_WAIT", "3600"))
     vals = {}
     for name, fn in _METRICS.items():
         if name.startswith("_test"):
             continue
         if per_metric_timeout is None:
             vals[name] = fn()
-        else:
-            vals[name] = _run_metric_subprocess(name, per_metric_timeout)
+            continue
+        if wait_budget >= 0:
+            wait_budget = _wait_for_relay(wait_budget)
+        if wait_budget < 0:
+            print(f"bench: relay still down — skipping metric {name!r}",
+                  file=sys.stderr, flush=True)
+            vals[name] = None
+            continue
+        vals[name] = _run_metric_subprocess(name, per_metric_timeout)
     return vals
 
 

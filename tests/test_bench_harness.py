@@ -21,6 +21,50 @@ def test_run_metric_subprocess_kills_hung_child():
     assert v is None
 
 
+def test_wait_for_relay_exhausted_budget(monkeypatch):
+    probes = []
+    monkeypatch.setattr(bench, "_relay_healthy", lambda timeout_s=150.0:
+                        probes.append(1) is None and False)
+    assert bench._wait_for_relay(0.0) == -1.0
+    assert len(probes) == 1  # zero budget -> exactly one quick probe
+
+
+def test_wait_for_relay_recovers(monkeypatch):
+    import time
+
+    state = {"n": 0}
+
+    def flaky(timeout_s=150.0):
+        state["n"] += 1
+        return state["n"] >= 2  # down once, then up
+
+    monkeypatch.setattr(bench, "_relay_healthy", flaky)
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    left = bench._wait_for_relay(600.0)
+    assert left > 0 and state["n"] == 2
+
+
+def test_collect_skips_metrics_while_relay_down(monkeypatch):
+    calls = []
+    monkeypatch.setattr(bench, "_wait_for_relay", lambda budget: -1.0)
+    monkeypatch.setattr(bench, "_run_metric_subprocess",
+                        lambda name, t: calls.append(name) or 1.0)
+    vals = bench._collect(per_metric_timeout=60.0)
+    assert calls == []  # no metric subprocess ever launched
+    assert all(v is None for v in vals.values())
+    with pytest.raises(RuntimeError):
+        bench._assemble(vals)
+
+
+def test_collect_runs_metrics_when_relay_up(monkeypatch):
+    monkeypatch.setattr(bench, "_wait_for_relay", lambda budget: budget)
+    monkeypatch.setattr(bench, "_run_metric_subprocess",
+                        lambda name, t: 42.0)
+    vals = bench._collect(per_metric_timeout=60.0)
+    assert vals["infer"] == 42.0
+    assert not any(k.startswith("_test") for k in vals)
+
+
 def test_assemble_drops_missing_extras_keeps_headline():
     vals = {"infer": 760.0, "infer_b32": None, "train": 188.5,
             "train16": None, "gaviko": None, "infer_int8": None, "mae": None}
