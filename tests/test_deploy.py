@@ -208,6 +208,54 @@ def test_params_are_device_resident(exported):
         assert isinstance(v, jax.Array)
 
 
+# Method-specific tiny-geometry ctor extras (mirrors the parity suites).
+_ZOO_EXTRAS = {
+    "gaviko": dict(
+        freeze_vit=True, num_prompts=5, prompt_latent_dim=12, local_dim=12,
+        local_k=[2, 2, 2], DHW=[2, 2, 2], attn_drop=0.2, proj_drop=0.2,
+        share_factor=1,
+    ),
+    "evp": dict(
+        freeze_vit=True, scale_factor=4, input_type="fft", freq_nums=0.25,
+        handcrafted_tune=True, embedding_tune=True,
+    ),
+    "shallow_vpt": dict(
+        freeze_vit=True, num_prompts=4, prompt_dim=16, prompt_dropout=0.1,
+        deep_prompt=False,
+    ),
+    "deep_vpt": dict(
+        freeze_vit=True, num_prompts=4, prompt_dim=16, prompt_dropout=0.1,
+        deep_prompt=True,
+    ),
+    "adaptformer": dict(freeze_vit=True),
+    "ssf": dict(freeze_vit=True),
+    "dvpt": dict(freeze_vit=True, num_prompts=6, pool="mean"),
+    "melo": dict(freeze_vit=True, r=4, alpha=4),
+}
+
+
+@pytest.mark.parametrize("method", sorted(
+    __import__("gaviko_tpu.config", fromlist=["METHODS"]).METHODS))
+def test_zoo_artifact_roundtrip(method, exported, tmp_path):
+    """Every PEFT method's forward must survive jax.export serialization
+    (FFT prompts, dual-stream local-mask kernels, LoRA qkv override, ...)
+    and reproduce the live Predictor's logits from the artifact."""
+    config, _, _ = exported
+    config = json.loads(json.dumps(config))  # deep copy
+    config["model"]["method"] = method
+    config["model"].update(_ZOO_EXTRAS.get(method, {}))
+    path = str(tmp_path / f"{method}.gaviko")
+    export_artifact(config, path, batch_size=2, dtype="float32",
+                    pretrained_dir=None)
+    dep = DeployedPredictor(path)
+    live = Predictor(config, batch_size=2, dtype="float32",
+                     pretrained_dir=None)
+    rng = np.random.RandomState(11)
+    vols = [rng.rand(24, 32, 32).astype(np.float32) for _ in range(2)]
+    np.testing.assert_allclose(
+        dep.predict_logits(vols), live.predict_logits(vols), atol=1e-5)
+
+
 def test_serve_accepts_deployed_predictor(exported):
     import threading
     import urllib.request
