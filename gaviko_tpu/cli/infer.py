@@ -83,13 +83,67 @@ def inference(config: dict) -> str:
     return csv_path
 
 
+def inference_artifact(artifact: str, image_folder: str,
+                       results_dir: str) -> str:
+    """Folder inference from a deployment artifact (no model build/config).
+
+    Same outputs as :func:`inference` — versioned
+    ``{method}_{backbone}_inference_results_v{N}.csv`` with argmax classes —
+    but the forward comes from the serialized ``gaviko-export`` zip."""
+    from gaviko_tpu.deploy import DeployedPredictor
+
+    pred = DeployedPredictor(artifact)
+    test_df = scan_folder(image_folder)
+    outputs = []
+    # Stream in predictor-sized chunks: volumes are ~12M floats each, so
+    # loading the whole folder before predicting would not scale.
+    paths = list(test_df["mri_path"])
+    for i in range(0, len(paths), pred.batch_size):
+        vols = [np.load(p)["data"] for p in paths[i: i + pred.batch_size]]
+        outputs.extend(int(c) for c in pred.predict(vols))
+    test_df["outputs"] = outputs
+    test_df["mri_path"] = test_df["mri_path"].apply(os.path.basename)
+    out_df = test_df[["mri_path", "outputs"]]
+
+    os.makedirs(results_dir, exist_ok=True)
+    mc = pred.meta["model_config"]
+    backbone = str(mc.get("backbone", "none")).replace("-", "_")
+    csv_path = versioned_path(
+        results_dir,
+        f"{mc['method']}_{backbone}_inference_results_v{{version}}.csv",
+    )
+    out_df.to_csv(csv_path, index=False)
+    logging.info(f"Results saved to {csv_path}")
+    return csv_path
+
+
 def main():
     parser = argparse.ArgumentParser(description="Inference script for Gaviko model")
-    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="run from a deployment artifact (gaviko-export "
+                             "output) instead of building from --config; "
+                             "requires --image_folder")
+    parser.add_argument("--image_folder", type=str, default=None,
+                        help="npz folder to scan (with --artifact; --config "
+                             "runs take it from data.image_folder)")
     parser.add_argument("--results_dir", type=str, default="./outputs")
     parser.add_argument("--checkpoint", type=str, required=False)
     parser.add_argument("--method", type=str, default="gaviko", choices=list(METHODS))
     args = parser.parse_args()
+
+    if (args.config is None) == (args.artifact is None):
+        parser.error("exactly one of --config or --artifact is required")
+    if args.artifact is not None:
+        if args.image_folder is None:
+            parser.error("--artifact requires --image_folder")
+        if args.checkpoint is not None:
+            parser.error("--checkpoint is baked into the artifact at export "
+                         "time; not accepted with --artifact")
+        os.makedirs(args.results_dir, exist_ok=True)
+        setup_logging(log_dir=args.results_dir)
+        inference_artifact(args.artifact, args.image_folder, args.results_dir)
+        return
 
     config = load_config(args.config)
     apply_method_override(config, args.method)

@@ -9,6 +9,7 @@ the platform/version gates refuse bad artifacts up front.
 
 import io
 import json
+import os
 import zipfile
 
 import numpy as np
@@ -254,6 +255,28 @@ def test_zoo_artifact_roundtrip(method, exported, tmp_path):
     vols = [rng.rand(24, 32, 32).astype(np.float32) for _ in range(2)]
     np.testing.assert_allclose(
         dep.predict_logits(vols), live.predict_logits(vols), atol=1e-5)
+
+
+def test_infer_cli_artifact_folder(exported, tmp_path):
+    """gaviko-infer --artifact: folder scan -> versioned argmax CSV, same
+    contract as the reference's inference.py but with no model build."""
+    import pandas as pd
+
+    from gaviko_tpu.cli.infer import inference_artifact
+
+    config, path, _ = exported
+    folder = config["data"]["image_folder"]
+    out = inference_artifact(path, folder, str(tmp_path / "outputs"))
+    assert out.endswith("_inference_results_v1.csv")
+    df = pd.read_csv(out)
+    assert list(df.columns) == ["mri_path", "outputs"]
+    n_npz = len([f for f in os.listdir(folder) if f.endswith(".npz")])
+    assert len(df) == n_npz
+    # Classes must match the artifact predictor applied directly.
+    dep = DeployedPredictor(path)
+    for _, row in df.iterrows():
+        vol = np.load(os.path.join(folder, row["mri_path"]))["data"]
+        assert row["outputs"] == int(dep.predict([vol])[0])
 
 
 def test_serve_accepts_deployed_predictor(exported):
