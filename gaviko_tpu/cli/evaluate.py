@@ -48,6 +48,69 @@ def versioned_path(results_dir: str, base: str) -> str:
         version += 1
 
 
+def _finish_eval(valid_df, y_test, y_pred, y_proba, results_dir: str,
+                 method: str, backbone: str) -> dict:
+    """Shared tail of both eval paths: metrics + versioned CSV + txt."""
+    y_test = np.asarray(y_test)
+    y_pred = np.asarray(y_pred)
+    y_proba = np.asarray(y_proba)
+    test_acc = accuracy(y_test, y_pred)
+    test_qkv = cohen_kappa_quadratic(y_test, y_pred)
+    test_auc = roc_auc_ovr_macro(y_test, y_proba)
+    logging.info(f"Test Accuracy: {test_acc}")
+    logging.info(f"Test Quadratic Kappa: {test_qkv}")
+    logging.info(f"Test AUC: {test_auc}")
+
+    out_df = valid_df.copy()
+    out_df["outputs"] = y_pred.tolist()
+    out_df["mri_path"] = out_df["mri_path"].apply(os.path.basename)
+    out_df = out_df[["mri_path", "outputs"]]
+
+    os.makedirs(results_dir, exist_ok=True)
+    csv_path = versioned_path(
+        results_dir,
+        f"{method}_{backbone.replace('-', '_')}_eval_results_v{{version}}.csv",
+    )
+    out_df.to_csv(csv_path, index=False)
+    logging.info(f"Results saved to {csv_path}")
+    with open(os.path.splitext(csv_path)[0] + "_metrics.txt", "w") as f:
+        f.write(f"Test Accuracy: {test_acc}\n")
+        f.write(f"Test Quadratic Kappa: {test_qkv}\n")
+        f.write(f"Test AUC: {test_auc}\n")
+    return {"accuracy": test_acc, "kappa": test_qkv, "auc": test_auc, "csv": csv_path}
+
+
+def evaluate_artifact(artifact: str, data_path: str, results_dir: str,
+                      image_folder: str | None = None) -> dict:
+    """Evaluate a deployment artifact (gaviko-export zip) on the labeled
+    ``val`` subset — same metrics/outputs as :func:`evaluate`, but the
+    forward comes from the serialized module: no config, no model build,
+    no weight conversion. Validates the exact unit that will be served."""
+    from gaviko_tpu.deploy import DeployedPredictor
+
+    pred = DeployedPredictor(artifact)
+    df = pd.read_csv(data_path)
+    valid_df = split_dataframe(df, "val")
+    paths = [
+        os.path.join(image_folder, p) if image_folder else p
+        for p in valid_df["mri_path"].tolist()
+    ]
+    y_test = valid_df["kl_grade"].tolist()
+    y_pred, y_proba = [], []
+    # Stream in predictor-sized chunks (predict_logits applies the eval
+    # transform + pads the ragged final chunk internally).
+    for i in range(0, len(paths), pred.batch_size):
+        vols = [np.load(p)["data"] for p in paths[i: i + pred.batch_size]]
+        logits = pred.predict_logits(vols)
+        y_pred.extend(np.argmax(logits, axis=1).tolist())
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        y_proba.extend((p / p.sum(-1, keepdims=True)).tolist())
+
+    mc = pred.meta["model_config"]
+    return _finish_eval(valid_df, y_test, y_pred, y_proba, results_dir,
+                        mc["method"], str(mc.get("backbone", "none")))
+
+
 def evaluate(config: dict) -> dict:
     logging.info(f"Devices: {jax.devices()}")
     df = pd.read_csv(config["data"]["data_path"])
@@ -96,44 +159,42 @@ def evaluate(config: dict) -> dict:
         p = np.exp(logits - logits.max(-1, keepdims=True))
         y_proba.extend((p / p.sum(-1, keepdims=True)).tolist())
 
-    y_test = np.asarray(y_test)
-    y_pred = np.asarray(y_pred)
-    y_proba = np.asarray(y_proba)
-    test_acc = accuracy(y_test, y_pred)
-    test_qkv = cohen_kappa_quadratic(y_test, y_pred)
-    test_auc = roc_auc_ovr_macro(y_test, y_proba)
-    logging.info(f"Test Accuracy: {test_acc}")
-    logging.info(f"Test Quadratic Kappa: {test_qkv}")
-    logging.info(f"Test AUC: {test_auc}")
-
-    out_df = valid_df.copy()
-    out_df["outputs"] = y_pred.tolist()
-    out_df["mri_path"] = out_df["mri_path"].apply(os.path.basename)
-    out_df = out_df[["mri_path", "outputs"]]
-
-    results_dir = config["utils"]["results_dir"]
-    os.makedirs(results_dir, exist_ok=True)
-    backbone = config["model"]["backbone"].replace("-", "_")
-    csv_path = versioned_path(
-        results_dir,
-        f"{config['model']['method']}_{backbone}_eval_results_v{{version}}.csv",
-    )
-    out_df.to_csv(csv_path, index=False)
-    logging.info(f"Results saved to {csv_path}")
-    with open(os.path.splitext(csv_path)[0] + "_metrics.txt", "w") as f:
-        f.write(f"Test Accuracy: {test_acc}\n")
-        f.write(f"Test Quadratic Kappa: {test_qkv}\n")
-        f.write(f"Test AUC: {test_auc}\n")
-    return {"accuracy": test_acc, "kappa": test_qkv, "auc": test_auc, "csv": csv_path}
+    return _finish_eval(
+        valid_df, y_test, y_pred, y_proba, config["utils"]["results_dir"],
+        config["model"]["method"], config["model"]["backbone"])
 
 
 def main():
     parser = argparse.ArgumentParser(description="Inference script for Gaviko model")
-    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="evaluate a deployment artifact (gaviko-export "
+                             "output) instead of building from --config; "
+                             "requires --data_path")
+    parser.add_argument("--data_path", type=str, default=None,
+                        help="labels CSV with mri_path/kl_grade/subset (with "
+                             "--artifact; --config runs take data.data_path)")
+    parser.add_argument("--image_folder", type=str, default=None,
+                        help="npz folder the CSV's mri_path is relative to "
+                             "(with --artifact)")
     parser.add_argument("--results_dir", type=str, default="./outputs")
     parser.add_argument("--checkpoint", type=str, required=False)
     parser.add_argument("--method", type=str, default="gaviko", choices=list(METHODS))
     args = parser.parse_args()
+
+    if (args.config is None) == (args.artifact is None):
+        parser.error("exactly one of --config or --artifact is required")
+    if args.artifact is not None:
+        if args.data_path is None:
+            parser.error("--artifact requires --data_path (labels CSV)")
+        if args.checkpoint is not None:
+            parser.error("--checkpoint is baked into the artifact at export "
+                         "time; not accepted with --artifact")
+        os.makedirs(args.results_dir, exist_ok=True)
+        setup_logging(log_dir=args.results_dir)
+        evaluate_artifact(args.artifact, args.data_path, args.results_dir,
+                          image_folder=args.image_folder)
+        return
 
     config = load_config(args.config)
     apply_method_override(config, args.method)

@@ -305,3 +305,34 @@ def test_serve_accepts_deployed_predictor(exported):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_eval_cli_artifact(exported, tmp_path):
+    """gaviko-eval --artifact: val-subset metrics + versioned CSV from the
+    serialized forward — the exact served unit gets validated, no model
+    build. Predictions must match the artifact predictor applied directly."""
+    import pandas as pd
+
+    from gaviko_tpu.cli.evaluate import evaluate_artifact
+
+    config, path, _ = exported
+    out = evaluate_artifact(
+        path, config["data"]["data_path"], str(tmp_path / "outputs"),
+        image_folder=config["data"]["image_folder"])
+    assert set(out) == {"accuracy", "kappa", "auc", "csv"}
+    assert out["csv"].endswith("_eval_results_v1.csv")
+    metrics_txt = os.path.splitext(out["csv"])[0] + "_metrics.txt"
+    assert os.path.exists(metrics_txt)
+    df = pd.read_csv(out["csv"])
+    assert list(df.columns) == ["mri_path", "outputs"]
+    labels = pd.read_csv(config["data"]["data_path"])
+    val = labels[labels["subset"] == "val"]
+    assert len(df) == len(val)
+    dep = DeployedPredictor(path)
+    folder = config["data"]["image_folder"]
+    for _, row in df.iterrows():
+        vol = np.load(os.path.join(folder, row["mri_path"]))["data"]
+        assert row["outputs"] == int(dep.predict([vol])[0])
+    # Accuracy is consistent with the written predictions.
+    acc = float((df["outputs"].to_numpy() == val["kl_grade"].to_numpy()).mean())
+    assert abs(acc - out["accuracy"]) < 1e-9
