@@ -95,7 +95,7 @@ def _make_chain(model):
     return jax.jit(chain)
 
 
-def _infer_setup(batch):
+def _infer_setup(batch, gelu="tanh"):
     import jax
     import jax.numpy as jnp
 
@@ -106,8 +106,9 @@ def _infer_setup(batch):
         num_classes=5, channels=1, pool="cls", backbone="vit-b16",
         method="fft", dropout=0.1, emb_dropout=0.1,
         # Deployment config: tanh GELU (erf costs ~6 ms/fwd on the VPU; the
-        # difference is below bf16 resolution — see PARITY.md).
-        gelu="tanh",
+        # difference is below bf16 resolution — see PARITY.md). The parity
+        # mode's cost is on the record via the infer_erf row (gelu="exact").
+        gelu=gelu,
     )
     model = build_model(cfg)
     params = _bf16_params(jax, jnp, model.init(jax.random.PRNGKey(0), model.spec))
@@ -117,8 +118,8 @@ def _infer_setup(batch):
     return model, params, vol
 
 
-def bench_infer_b16(batch=INFER_BATCH):
-    model, params, vol = _infer_setup(batch)
+def bench_infer_b16(batch=INFER_BATCH, gelu="tanh"):
+    model, params, vol = _infer_setup(batch, gelu=gelu)
     dt = _timeit(_make_chain(model), params, vol)
     return batch / dt
 
@@ -333,6 +334,11 @@ _METRICS = {
     "gaviko": bench_gaviko_l16,
     "gaviko_train": bench_gaviko_l16_train,
     "infer_int8": bench_infer_b16_int8,
+    # Parity-mode (exact-erf GELU, the reference's nn.GELU default —
+    # ref src/model/vision_transformer.py:32) inference throughput, so the
+    # tanh deployment choice's cost is in the official record (round-3
+    # verdict #5), at the cross-round-comparable B32.
+    "infer_erf": lambda: bench_infer_b16(batch=INFER_BATCH_REF, gelu="exact"),
     "mae": bench_logit_mae,
     # Hidden harness self-test hooks (no device use; see tests/).
     "_test_fast": lambda: 123.5,
@@ -476,6 +482,11 @@ def _assemble(vals: dict) -> dict:
          "vit-b16 inference throughput, w8a8 int8 serving mode (serve.py "
          "--quantize int8; batch 64; rel logit MAE 0.85% vs bf16, argmax "
          "agreement 1.0)",
+         "volumes/sec/chip", TARGET_INFER),
+        (vals.get("infer_erf"),
+         "vit-b16 inference throughput in exact-erf GELU parity mode (the "
+         "reference's nn.GELU default; batch 32) — the cost of full parity "
+         "vs the tanh deployment headline",
          "volumes/sec/chip", TARGET_INFER),
     ]
     extra = [

@@ -91,14 +91,19 @@ def evaluate_artifact(artifact: str, data_path: str, results_dir: str,
     pred = DeployedPredictor(artifact)
     df = pd.read_csv(data_path)
     valid_df = split_dataframe(df, "val")
+    if len(valid_df) == 0:
+        raise ValueError(f"no rows with subset=='val' in {data_path}")
     paths = [
         os.path.join(image_folder, p) if image_folder else p
         for p in valid_df["mri_path"].tolist()
     ]
     y_test = valid_df["kl_grade"].tolist()
     y_pred, y_proba = [], []
-    # Stream in predictor-sized chunks (predict_logits applies the eval
-    # transform + pads the ragged final chunk internally).
+    # Chunk the outer loop to bound HOST memory: predict_logits re-chunks
+    # to pred.batch_size internally for the device, but would otherwise
+    # require every decoded volume resident in host RAM at once. Loading
+    # pred.batch_size volumes per outer iteration keeps the host footprint
+    # at one device batch.
     for i in range(0, len(paths), pred.batch_size):
         vols = [np.load(p)["data"] for p in paths[i: i + pred.batch_size]]
         logits = pred.predict_logits(vols)
@@ -115,6 +120,10 @@ def evaluate(config: dict) -> dict:
     logging.info(f"Devices: {jax.devices()}")
     df = pd.read_csv(config["data"]["data_path"])
     valid_df = split_dataframe(df, "val")
+    if len(valid_df) == 0:
+        raise ValueError(
+            f"no rows with subset=='val' in {config['data']['data_path']}"
+        )
     ds = dataset_from_dataframe(
         valid_df, T.eval_transform, False, config["data"].get("image_folder")
     )
@@ -179,7 +188,13 @@ def main():
                              "(with --artifact)")
     parser.add_argument("--results_dir", type=str, default="./outputs")
     parser.add_argument("--checkpoint", type=str, required=False)
-    parser.add_argument("--method", type=str, default="gaviko", choices=list(METHODS))
+    # default=None so an *explicit* --method in artifact mode can be
+    # rejected below; --config runs fall back to the reference's default
+    # ("gaviko", ref src/eval.py argparse default).
+    parser.add_argument("--method", type=str, default=None,
+                        choices=list(METHODS),
+                        help="PEFT method (--config runs only; artifacts "
+                             "bake the method in at export time)")
     args = parser.parse_args()
 
     if (args.config is None) == (args.artifact is None):
@@ -190,11 +205,21 @@ def main():
         if args.checkpoint is not None:
             parser.error("--checkpoint is baked into the artifact at export "
                          "time; not accepted with --artifact")
+        if args.method is not None:
+            parser.error("--method is baked into the artifact at export "
+                         "time; not accepted with --artifact")
         os.makedirs(args.results_dir, exist_ok=True)
         setup_logging(log_dir=args.results_dir)
         evaluate_artifact(args.artifact, args.data_path, args.results_dir,
                           image_folder=args.image_folder)
         return
+
+    if args.data_path is not None:
+        parser.error("--data_path applies to --artifact runs only; --config "
+                     "runs read data.data_path from the YAML")
+    if args.image_folder is not None:
+        parser.error("--image_folder applies to --artifact runs only; "
+                     "--config runs read data.image_folder from the YAML")
 
     config = load_config(args.config)
     apply_method_override(config, args.method)
