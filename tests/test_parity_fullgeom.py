@@ -76,3 +76,30 @@ def test_full_geometry_parity(name, depth2_backbone, tmp_path):
     want = ref_logits(ref, vol)
     mae = np.abs(got - want).mean()
     assert mae < 1e-4, f"{name} full-geometry logit MAE {mae}"
+
+
+@pytest.mark.parametrize("name", sorted(CFGS))
+def test_full_depth_full_geometry_parity(name, tmp_path):
+    """The real 12-layer vit-b16 at the real (10,10,10) grid vs torch —
+    no depth cut, no geometry cut (round-3 verdict #6: previously no single
+    test ran the production layer count against the oracle). fp32 on CPU,
+    MAE < 1e-4 (the BASELINE.json correctness north star). Ref:
+    src/model/gaviko.py:531-551 (forward), src/model/vision_transformer.py
+    (backbone blocks)."""
+    cfg = {**FULL_GEOM, **CFGS[name], "backbone": "vit-b16"}
+    ref = build_ref_model(name, cfg, str(tmp_path))
+    state = state_dict_numpy(ref)
+
+    model = build_model({**cfg, "method": name})
+    assert model.spec.depth == 12 and model.spec.num_patches == 1000
+    params = model.init(jax.random.PRNGKey(0), model.spec)
+    assert set(params) == set(state)
+    params, _, _ = load_state_dict(params, state)
+
+    vol = np.random.RandomState(13).rand(1, 1, 120, 160, 160).astype(np.float32)
+    got = np.asarray(jax.jit(
+        lambda p, x: model.apply(p, x, model.spec)
+    )(params, jnp.asarray(vol)))
+    want = ref_logits(ref, vol)
+    mae = np.abs(got - want).mean()
+    assert mae < 1e-4, f"{name} full-depth full-geometry logit MAE {mae}"
