@@ -14,6 +14,11 @@ cannot overlap itself. Production hosts with real core counts (and
 `data.loader: grain` + `grain_processes`) scale that part linearly.
 
 Run:  python scripts/epoch_probe.py [n_train] [epochs]
+
+With ``--record``, additionally writes the machine-readable summary to
+``EPOCH_PROBE.json`` at the repo root — the committed per-round artifact
+proving real-epoch training tracks the benched step time (round-3
+verdict #8). Ref workload: src/train.py:65-78, 257-361.
 """
 
 from __future__ import annotations
@@ -51,8 +56,10 @@ def make_dataset(root, n_train, n_val, shape=(120, 160, 160)):
 
 
 def main():
-    n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    record = "--record" in sys.argv
+    argv = [a for a in sys.argv if a != "--record"]
+    n_train = int(argv[1]) if len(argv) > 1 else 24
+    epochs = int(argv[2]) if len(argv) > 2 else 3
     n_val = 8
     root = tempfile.mkdtemp(prefix="epoch_probe_")
     t0 = time.time()
@@ -137,6 +144,27 @@ def main():
         vols = n_train / steady
         print(f"end-to-end training throughput: {vols:.1f} vol/s "
               f"(step-only ceiling {8 / 0.0542:.1f})")
+        if record:
+            import json
+
+            payload = {
+                "workload": "vit-b16 fft B8, bf16, device_augment, "
+                            f"{n_train}+{n_val} full-geometry volumes",
+                "steady_epoch_wall_s": round(steady, 2),
+                "step_budget_s": round(budget, 2),
+                "wall_over_budget": round(steady / budget, 2),
+                "epoch_walls_s": [round(w, 2) for w in walls],
+                "end_to_end_vols_per_sec": round(vols, 1),
+                "step_only_ceiling_vols_per_sec": round(8 / 0.0542, 1),
+                "host_note": "single-core host: raw-volume np.load cannot "
+                             "overlap itself; production hosts with real "
+                             "core counts scale the loader share linearly",
+            }
+            out = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "EPOCH_PROBE.json")
+            with open(out, "w") as f:
+                json.dump(payload, f, indent=1)
+            print(f"recorded -> {out}")
 
 
 if __name__ == "__main__":
