@@ -232,20 +232,30 @@ def bench_gaviko_l16_train():
     labels = jnp.asarray(rng.randint(0, 5, size=batch).astype(np.int32))
     key = jax.random.PRNGKey(1)
 
-    def loss_fn(tr, step_rng):
+    def loss_fn(tr, frozen, vol, step_rng):
         logits = model.apply({**frozen, **tr}, vol, model.spec, train=True,
                              rng=step_rng)
         return focal_loss(logits.astype(jnp.float32), labels, gamma=1.2)
 
-    def chain(trainable, opt_state):
+    # frozen/vol are ARGUMENTS, not closure captures: closed-over arrays
+    # embed as XLA constants, and vit-l16's ~600 MB frozen backbone as an
+    # executable constant wrecks compile time through the relay (the real
+    # train step passes frozen explicitly too — train/loop.py).
+    def chain(trainable, opt_state, frozen, vol):
         def body(i, carry):
             tr, o = carry
-            grads = jax.grad(loss_fn)(tr, jax.random.fold_in(key, i))
+            # Thread the carry into the INPUT VOLUME: the patchify + frozen
+            # embedding path depends only on (frozen, vol) and would be
+            # hoisted out of the loop otherwise — a real epoch patchifies
+            # every step. O(B*vol) add is ~0.06 ms at B4.
+            eps = jax.tree.leaves(tr)[0].reshape(-1)[0].astype(vol.dtype)
+            v = vol + eps * jnp.asarray(1e-30, vol.dtype)
+            grads = jax.grad(loss_fn)(tr, frozen, v, jax.random.fold_in(key, i))
             return fused_optim.step(grads, o, tr, 3e-4, clip=1.0, eps=1e-4)
         tr, _ = jax.lax.fori_loop(0, ITERS, body, (trainable, opt_state))
         return jax.tree.leaves(tr)[0].astype(jnp.float32).reshape(-1)[0]
 
-    dt = _timeit(jax.jit(chain), trainable, opt_state)
+    dt = _timeit(jax.jit(chain), trainable, opt_state, frozen, vol)
     return batch / dt
 
 
