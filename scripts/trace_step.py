@@ -4,7 +4,7 @@ Runs ONE warm dispatch under jax.profiler (the chained-iteration bench
 methodology is for TIMING; per-op attribution wants a single step), then
 prints the per-op summary via scripts/xplane.py.
 
-    python scripts/trace_step.py train|infer [trace_dir]
+    python scripts/trace_step.py train|infer|gaviko_train [trace_dir]
 """
 
 from __future__ import annotations
@@ -67,6 +67,51 @@ def build_train_step():
     return run
 
 
+def build_gaviko_train_step():
+    """Flagship PEFT step: GAViKO vit-l16 B4, frozen backbone, trainable
+    head|prompt|local_attn — mirrors bench.bench_gaviko_l16_train."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench as bench_mod
+    from gaviko_tpu.models.factory import build_model
+    from gaviko_tpu.train import fused_optim
+    from gaviko_tpu.train.losses import focal_loss
+
+    model = build_model(bench_mod._gaviko_cfg())
+    params = jax.tree.map(
+        lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t,
+        model.init(jax.random.PRNGKey(0), model.spec))
+    trainable = {k: v for k, v in params.items() if model.trainable(k)}
+    frozen = {k: v for k, v in params.items() if not model.trainable(k)}
+    opt_state = fused_optim.init(trainable)
+    rng = np.random.RandomState(0)
+    B = bench_mod.GAVIKO_TRAIN_BATCH
+    vol = jnp.asarray(rng.rand(B, 1, 120, 160, 160)).astype(jnp.bfloat16)
+    labels = jnp.asarray(rng.randint(0, 5, size=B).astype(np.int32))
+    key = jax.random.PRNGKey(1)
+
+    def loss_fn(tr, fz, v, step_rng):
+        logits = model.apply({**fz, **tr}, v, model.spec, train=True,
+                             rng=step_rng)
+        return focal_loss(logits.astype(jnp.float32), labels, gamma=1.2)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(tr, o, fz, v):
+        grads = jax.grad(loss_fn)(tr, fz, v, key)
+        return fused_optim.step(grads, o, tr, 3e-4, clip=1.0, eps=1e-4)
+
+    state = {"t": trainable, "o": opt_state}
+
+    def run():
+        state["t"], state["o"] = step(state["t"], state["o"], frozen, vol)
+        jax.block_until_ready(jax.tree.leaves(state["t"])[0])
+
+    return run
+
+
 def build_infer():
     import jax
     import jax.numpy as jnp
@@ -93,7 +138,9 @@ def main():
 
     which = sys.argv[1] if len(sys.argv) > 1 else "train"
     trace_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/trace_{which}"
-    run = build_train_step() if which == "train" else build_infer()
+    builders = {"train": build_train_step, "infer": build_infer,
+                "gaviko_train": build_gaviko_train_step}
+    run = builders[which]()
     run()  # compile + warm
     run()
     jax.profiler.start_trace(trace_dir)
