@@ -39,10 +39,12 @@ is below the floor".
 
 Usage (on the real chip):
 
-    python scripts/train_floor.py [B ...]     # default: 8 16
+    python scripts/train_floor.py [--record] [B ...]   # default: 8 16
 
 Prints one JSON line per batch size with every term, the floor in ms, the
-implied max vol/s, and the 225-target verdict. Reference workload:
+implied max vol/s, and the 225-target verdict; ``--record`` writes the
+whole derivation to ``FLOOR.json`` at the repo root (the committed
+per-round artifact). Reference workload:
 /root/reference/src/train.py:266-319 (train step), configs vit.yaml B8.
 """
 
@@ -219,7 +221,8 @@ def derive_floor(B: int, rates: dict) -> dict:
 
 
 def main():
-    batches = [int(a) for a in sys.argv[1:]] or [8, 16]
+    record = "--record" in sys.argv
+    batches = [int(a) for a in sys.argv[1:] if a != "--record"] or [8, 16]
 
     # Machine rates at the LARGEST requested batch's shapes (rates are
     # row-count-insensitive above a few thousand rows; measured once).
@@ -239,20 +242,31 @@ def main():
         "kseq_tfs": kseq_tfs,
         "hbm_gbs": hbm_gbs,
     }
-    print(json.dumps({"measured_rates": {
+    measured = {
         "wide_gemm_tfs": round(wide_tfs, 1),
         "attn_k64_tfs": round(k64_tfs, 1),
         "attn_kseq_tfs": round(kseq_tfs, 1),
         "softmax_fwdbwd_ms_at_Bmax": round(softmax_ms, 3),
         "gelu_fwdbwd_ms_at_Bmax": round(gelu_ms, 3),
         "hbm_triad_gbs": round(hbm_gbs, 1),
-    }}))
+    }
+    print(json.dumps({"measured_rates": measured}))
 
+    floors = []
     for B in batches:
         scale = B / Bmax
         rates["softmax_ms_per_layer"] = softmax_ms * scale
         rates["gelu_ms_per_layer"] = gelu_ms * scale
-        print(json.dumps(derive_floor(B, rates)))
+        floors.append(derive_floor(B, rates))
+        print(json.dumps(floors[-1]))
+
+    if record:
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "FLOOR.json")
+        with open(out, "w") as f:
+            json.dump({"measured_rates": measured, "floors": floors}, f,
+                      indent=1)
+        print(f"recorded -> {out}")
 
 
 if __name__ == "__main__":
