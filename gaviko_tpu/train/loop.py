@@ -374,6 +374,16 @@ def _run_training(config: dict, model: Model, params: Dict, loaders,
         return path
 
     preempted = False
+    # Epoch-boundary resume saves gather the FULL train state (params + Adam
+    # moments — ~530 MB for vit-b16 fft) to host. Rate-limit them by wall
+    # time (train.resume_save_interval_s, default 600; 0 = every epoch):
+    # durability stays bounded at one interval, while fast epochs stop
+    # paying a device->host gather each (through the axon relay's
+    # ~10-16 MB/s wire that gather dominated the epoch: measured 75 s/epoch
+    # vs 15 s without it). The final epoch, early stopping, and preemption
+    # ALWAYS save — those states are the resume contract.
+    resume_interval = float(train_cfg.get("resume_save_interval_s", 600.0))
+    last_resume_save = time.monotonic()
     for epoch in range(start_epoch, num_epochs):
         t_epoch = time.time()
         # Resume-exact data order: shuffle/augment RNG follows the TRUE epoch
@@ -576,7 +586,10 @@ def _run_training(config: dict, model: Model, params: Dict, loaders,
             f"val loss {val_loss:.4f} val acc {val_acc*100:.2f}%"
         )
 
-        _save_resume(current_epoch)
+        if (epoch == num_epochs - 1 or resume_interval <= 0
+                or time.monotonic() - last_resume_save >= resume_interval):
+            _save_resume(current_epoch)
+            last_resume_save = time.monotonic()
         if guard.preempted:
             # Signal arrived during validation/bookkeeping: the epoch is
             # complete and its boundary state is saved; stop before the next.

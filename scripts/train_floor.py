@@ -2,7 +2,7 @@
 verdict #3: the "225 vol/s is below the single-chip floor" claim must be
 independently checkable, not a doc assertion).
 
-The floor is built from three measured machine rates, applied to the exact
+The floor is built from measured machine rates applied to the exact
 GEMM/byte inventory of the workload — no model code is timed, so the
 result is independent of our kernels:
 
@@ -16,26 +16,31 @@ result is independent of our kernels:
      ARCHITECTURE.md).
    - ``kseq``  — attention dots contracting over the sequence (PV, dV,
      dQ, dK): full-depth contraction but 64-wide output.
-   Each class rate is measured here on an ISOLATED synthetic GEMM of the
-   workload's own shape, chained with a data dependence (bench.py
-   methodology — the axon relay's ~25 ms dispatch and non-syncing
-   block_until_ready make single-call timing meaningless).
+   Each class rate is measured on an ISOLATED synthetic GEMM of the
+   workload's own shape.
 
 2. **VPU serial passes.** The fused-attention in-kernel lane reductions
    and exp do NOT overlap the MXU (A/B-confirmed: statement-reorder and
    ride-along row-sum probes in ARCHITECTURE.md measured zero overlap
    gain), so softmax fwd+bwd and GELU fwd+bwd are additive serial time.
-   Measured as isolated elementwise passes at the workload's element
-   counts.
+   Measured with a VMEM-RESIDENT Pallas microbench (one block loaded
+   once, the math repeated in-register/in-VMEM with a carry) — an
+   HBM-materialized XLA softmax would measure memory bandwidth, not the
+   VPU work the fused kernels actually pay.
 
 3. **Optimizer HBM traffic.** The fused clip+Adam step is bandwidth-bound:
    7 bf16 arrays of nparams traffic (read p,g,m,v; write p,m,v) at the
    measured triad HBM rate.
 
+Timing methodology: every rate is a SLOPE — the same chained computation
+at two iteration counts, rate = d(time)/d(iters). The axon relay's ~25 ms
+dispatch, warmup, and any loop-invariant work cancel exactly (a plain
+chained measurement at micro-iteration cost halves apparent GEMM rates).
+
 Everything smaller (LN, dropout hash, bias adds, patchify stripe copies,
-residual adds) is EXCLUDED — the floor is therefore an underestimate of
-true cost, which is the conservative direction for the claim "the target
-is below the floor".
+residual adds, kernel ramp/drain) is EXCLUDED — the floor is therefore an
+underestimate of true cost, which is the conservative direction for the
+claim "the target is below the floor".
 
 Usage (on the real chip):
 
@@ -50,6 +55,7 @@ per-round artifact). Reference workload:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -63,7 +69,7 @@ from gaviko_tpu.utils.compile_cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-ITERS = 50
+ITERS_LO, ITERS_HI = 40, 120
 N_PAD = 1008          # 1000 patches + cls, tile-padded
 DIM, HEADS, DH, MLP_DIM = 768, 12, 64, 3072
 PATCH = 12 * 16 * 16  # 3072-element 3D patch
@@ -72,11 +78,26 @@ DEPTH = 12
 N_PARAMS = 86_567_000  # vit-b16 fft trainable params (head incl.)
 
 
-def _timeit_ms(jitted, *args):
+def _time_s(jitted, *args):
     float(jitted(*args))  # compile + warm
-    t0 = time.time()
-    float(jitted(*args))
-    return (time.time() - t0) / ITERS * 1000.0
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        float(jitted(*args))
+        best = min(best, time.time() - t0)
+    return best
+
+
+def _slope_ms(make_chain, *args):
+    """ms per iteration from two chain lengths; dispatch and any
+    loop-invariant work cancel in the difference."""
+    import jax
+
+    lo = jax.jit(make_chain(ITERS_LO))
+    hi = jax.jit(make_chain(ITERS_HI))
+    t_lo = _time_s(lo, *args)
+    t_hi = _time_s(hi, *args)
+    return max(t_hi - t_lo, 1e-9) * 1000.0 / (ITERS_HI - ITERS_LO)
 
 
 def _gemm_rate_tfs(m, k, n, batch=1):
@@ -88,62 +109,67 @@ def _gemm_rate_tfs(m, k, n, batch=1):
     a = jnp.asarray(rng.randn(batch, m, k)).astype(jnp.bfloat16)
     b = jnp.asarray(rng.randn(batch, k, n)).astype(jnp.bfloat16)
 
-    def chain(a, b):
-        def body(i, c):
-            out = jnp.einsum("bmk,bkn->bmn", a + c, b)
-            return c + out[0, 0, 0] * jnp.asarray(1e-30, a.dtype)
-        return jax.lax.fori_loop(
-            0, ITERS, body, jnp.zeros((), a.dtype))
+    def make_chain(iters):
+        def chain(a, b):
+            def body(i, c):
+                out = jnp.einsum("bmk,bkn->bmn", a + c, b)
+                return c + out[0, 0, 0] * jnp.asarray(1e-30, a.dtype)
+            return jax.lax.fori_loop(0, iters, body, jnp.zeros((), a.dtype))
+        return chain
 
-    ms = _timeit_ms(jax.jit(chain), a, b)
+    ms = _slope_ms(make_chain, a, b)
     flops = 2.0 * batch * m * k * n
     return flops / (ms * 1e-3) / 1e12, ms
 
 
-def _vpu_softmax_ms(bh, n):
-    """One softmax fwd pass + one bwd (P*(dP - rowsum(P*dP))) pass over
-    [bh, n, n] bf16 — the attention kernels' serial VPU work."""
+def _vpu_block_ms(kind, rows, cols):
+    """Per-repetition ms of a VMEM-resident VPU pass over a [rows, cols]
+    block: the block is loaded into VMEM once and the math repeated with a
+    carry (Pallas), so HBM traffic is excluded — matching the fused
+    kernels, whose score/hidden tiles live in VMEM."""
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    s = jnp.asarray(np.random.RandomState(0).randn(bh, n, n)).astype(
+    x = jnp.asarray(np.random.RandomState(0).randn(rows, cols)).astype(
         jnp.bfloat16)
 
-    def chain(s):
+    def kernel(x_ref, o_ref, *, reps):
         def body(i, c):
-            x = s + c
-            m = jnp.max(x, axis=-1, keepdims=True)
-            e = jnp.exp((x - m).astype(jnp.float32)).astype(jnp.bfloat16)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
-            # bwd shape of work: one multiply, one row-reduce, one fnma
-            ds = p * (x - jnp.sum(p * x, axis=-1, keepdims=True))
-            return c + ds[0, 0, 0] * jnp.asarray(1e-30, s.dtype)
-        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), s.dtype))
+            s = (x_ref[:] + c.astype(jnp.bfloat16)).astype(jnp.float32)
+            if kind == "softmax":
+                # fwd: max, exp, sum, div; bwd-shaped: mul, rowsum, fnma —
+                # the per-element op mix of the fused attention kernels.
+                m = jnp.max(s, axis=1, keepdims=True)
+                e = jnp.exp(s - m)
+                l = jnp.sum(e, axis=1, keepdims=True)
+                p = e / l
+                r = p * (s - jnp.sum(p * s, axis=1, keepdims=True))
+            else:  # gelu fwd + bwd-shaped second evaluation
+                g = jax.nn.gelu(s, approximate=True)
+                r = g + jax.nn.gelu(s * 1.0001, approximate=True)
+            return c + r[0:1, 0:1] * 1e-30
+        c = jax.lax.fori_loop(0, reps, body, jnp.zeros((1, 1), jnp.float32))
+        o_ref[:] = jnp.broadcast_to(c, o_ref.shape)
 
-    return _timeit_ms(jax.jit(chain), s)
+    def run(reps):
+        f = pl.pallas_call(
+            functools.partial(kernel, reps=reps),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        )
+        return jax.jit(lambda x: f(x)[0, 0])
+
+    t_lo = _time_s(run(ITERS_LO), x)
+    t_hi = _time_s(run(ITERS_HI), x)
+    return max(t_hi - t_lo, 1e-9) * 1000.0 / (ITERS_HI - ITERS_LO)
 
 
-def _vpu_gelu_ms(rows, cols):
-    """GELU-tanh fwd + bwd-shaped pass over [rows, cols] bf16."""
-    import jax
-    import jax.numpy as jnp
-
-    h = jnp.asarray(np.random.RandomState(0).randn(rows, cols)).astype(
-        jnp.bfloat16)
-
-    def chain(h):
-        def body(i, c):
-            x = h + c
-            g = jax.nn.gelu(x, approximate=True)
-            dg = jax.grad(lambda t: jax.nn.gelu(t, approximate=True).sum())(x)
-            return c + (g[0, 0] + dg[0, 0]) * jnp.asarray(1e-30, h.dtype)
-        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), h.dtype))
-
-    return _timeit_ms(jax.jit(chain), h)
-
-
-def _hbm_rate_gbs(nbytes=512 * 1024 * 1024):
-    """Triad-style sustained HBM GB/s (read 2 + write 1 per element)."""
+def _hbm_rate_gbs(nbytes=256 * 1024 * 1024):
+    """Triad-style sustained HBM GB/s (read 2 + write 1 per element). The
+    carry feeds the `a` term so the whole body is loop-variant."""
     import jax
     import jax.numpy as jnp
 
@@ -151,13 +177,15 @@ def _hbm_rate_gbs(nbytes=512 * 1024 * 1024):
     a = jnp.ones((n,), jnp.bfloat16)
     b = jnp.full((n,), 0.5, jnp.bfloat16)
 
-    def chain(a, b):
-        def body(i, c):
-            out = a * jnp.asarray(0.999, a.dtype) + b + c
-            return c + out[0] * jnp.asarray(1e-30, a.dtype)
-        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), a.dtype))
+    def make_chain(iters):
+        def chain(a, b):
+            def body(i, c):
+                out = (a + c) * jnp.asarray(0.999, a.dtype) + b
+                return c + out[0] * jnp.asarray(1e-30, a.dtype)
+            return jax.lax.fori_loop(0, iters, body, jnp.zeros((), a.dtype))
+        return chain
 
-    ms = _timeit_ms(jax.jit(chain), a, b)
+    ms = _slope_ms(make_chain, a, b)
     return 3.0 * nbytes / (ms * 1e-3) / 1e9, ms
 
 
@@ -190,8 +218,12 @@ def derive_floor(B: int, rates: dict) -> dict:
     t_kseq = gemm_ms(DEPTH * 4 * dot, tf_kseq)
 
     # --- serial VPU passes (A/B-confirmed non-overlapping with MXU) ---
-    t_softmax = DEPTH * rates["softmax_ms_per_layer"]
-    t_gelu = DEPTH * rates["gelu_ms_per_layer"]
+    # softmax block measured at [SOFTMAX_ROWS, N_PAD]; the workload runs
+    # BH * N_PAD rows of it per layer (fwd) — the bwd mix is inside the
+    # block measurement. GELU runs over R x MLP_DIM per layer.
+    t_softmax = DEPTH * rates["softmax_block_ms"] * (
+        BH * N_PAD / rates["softmax_rows"])
+    t_gelu = DEPTH * rates["gelu_block_ms"] * (R / rates["gelu_rows"])
 
     # --- optimizer HBM traffic: 7 bf16 arrays of nparams ---
     opt_bytes = 7.0 * N_PARAMS * 2
@@ -220,20 +252,25 @@ def derive_floor(B: int, rates: dict) -> dict:
     }
 
 
+SOFTMAX_ROWS = 256
+GELU_ROWS = 256
+
+
 def main():
     record = "--record" in sys.argv
     batches = [int(a) for a in sys.argv[1:] if a != "--record"] or [8, 16]
 
-    # Machine rates at the LARGEST requested batch's shapes (rates are
-    # row-count-insensitive above a few thousand rows; measured once).
+    # Machine rates at the LARGEST requested batch's GEMM shapes (rates
+    # are row-count-insensitive above a few thousand rows); VPU blocks are
+    # fixed-size and scaled by row count in derive_floor.
     Bmax = max(batches)
     R = Bmax * N_PAD
     BH = Bmax * HEADS
     wide_tfs, _ = _gemm_rate_tfs(R, DIM, MLP_DIM)
     k64_tfs, _ = _gemm_rate_tfs(N_PAD, DH, N_PAD, batch=BH)
     kseq_tfs, _ = _gemm_rate_tfs(N_PAD, N_PAD, DH, batch=BH)
-    softmax_ms = _vpu_softmax_ms(BH, N_PAD)
-    gelu_ms = _vpu_gelu_ms(R, MLP_DIM)
+    softmax_ms = _vpu_block_ms("softmax", SOFTMAX_ROWS, N_PAD)
+    gelu_ms = _vpu_block_ms("gelu", GELU_ROWS, MLP_DIM)
     hbm_gbs, _ = _hbm_rate_gbs()
 
     rates = {
@@ -241,22 +278,23 @@ def main():
         "k64_tfs": k64_tfs,
         "kseq_tfs": kseq_tfs,
         "hbm_gbs": hbm_gbs,
+        "softmax_block_ms": softmax_ms,
+        "softmax_rows": SOFTMAX_ROWS,
+        "gelu_block_ms": gelu_ms,
+        "gelu_rows": GELU_ROWS,
     }
     measured = {
         "wide_gemm_tfs": round(wide_tfs, 1),
         "attn_k64_tfs": round(k64_tfs, 1),
         "attn_kseq_tfs": round(kseq_tfs, 1),
-        "softmax_fwdbwd_ms_at_Bmax": round(softmax_ms, 3),
-        "gelu_fwdbwd_ms_at_Bmax": round(gelu_ms, 3),
+        "softmax_fwdbwd_ms_per_256rows": round(softmax_ms, 4),
+        "gelu_fwdbwd_ms_per_256rows": round(gelu_ms, 4),
         "hbm_triad_gbs": round(hbm_gbs, 1),
     }
     print(json.dumps({"measured_rates": measured}))
 
     floors = []
     for B in batches:
-        scale = B / Bmax
-        rates["softmax_ms_per_layer"] = softmax_ms * scale
-        rates["gelu_ms_per_layer"] = gelu_ms * scale
         floors.append(derive_floor(B, rates))
         print(json.dumps(floors[-1]))
 

@@ -318,6 +318,45 @@ def test_early_stop_saves_current_epoch_resume_state(tmp_path):
     assert meta["step_in_epoch"] == 0
 
 
+def test_resume_save_interval_rate_limits_boundary_saves(tmp_path, monkeypatch):
+    """Boundary resume saves are wall-time rate-limited
+    (train.resume_save_interval_s, default 600): fast epochs skip the full
+    device->host state gather (through the axon relay it dominated epoch
+    wall time), while the FINAL epoch always saves so `--resume auto` with
+    a higher num_epochs continues correctly. interval 0 = every epoch."""
+    import gaviko_tpu.utils.checkpoint as ckpt_mod
+    import train as train_mod
+
+    calls = []
+    real = ckpt_mod.save_train_state
+
+    def counting(path, *a, **kw):
+        calls.append(path)
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(ckpt_mod, "save_train_state", counting)
+
+    root = str(tmp_path)
+    csv_path, volumes = make_synth_dataset(root)
+
+    # Default interval (600 s >> test wall time): only the final epoch saves.
+    config = tiny_config(root, csv_path, volumes, method="bitfit", epochs=3)
+    config["train"]["patience"] = 100  # keep early stopping out of the way
+    train_mod.train(config)
+    assert len(calls) == 1, calls
+    state_path = os.path.join(
+        root, "weights", "experiments", "bitfit", "resume_state.npz")
+    assert os.path.exists(state_path)
+
+    # interval 0: every epoch boundary saves (the old behavior, opt-in).
+    calls.clear()
+    config = tiny_config(root, csv_path, volumes, method="bitfit", epochs=3)
+    config["train"]["patience"] = 100
+    config["train"]["resume_save_interval_s"] = 0
+    train_mod.train(config)
+    assert len(calls) == 3, calls
+
+
 def test_train_seed_drives_data_stream(tmp_path):
     """train.seed must reach the Loader: shuffle order (and host-side
     augmentation draws) differ across seeds (regression: every seed used to
