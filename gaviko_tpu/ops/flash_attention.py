@@ -93,7 +93,17 @@ def _use_interpret() -> bool:
 # while generation + per-chunk reseeding serializes. Kept opt-in as the
 # measured register entry; the hash stays the default.
 
-_BWD_VMEM_DEFAULT = 7_000_000
+# Backward q-block VMEM budget. 14 MB makes the WHOLE-K backward (block_q
+# = n_pad, single K/V load, no cross-block dK/dV scratch accumulation) the
+# default at every GAViKO sequence length (N <= ~1080); the Mosaic scoped
+# limit is raised to match below. Round-4 full-step A/B on v5e: whole-K
+# beat the old 7 MB q-blocked default everywhere — vit-b16 fft B8
+# 188.5 -> 193.0, B16 195.7 -> 200.4, GAViKO vit-l16 PEFT B4 65.2 -> 68.8
+# vol/s (round 3 measured a wash, but on an ISOLATED attention microbench;
+# in the full step the fusion/scheduling context differs). Longer
+# sequences still down-shift block_q automatically. GAVIKO_BWD_VMEM
+# overrides.
+_BWD_VMEM_DEFAULT = 14_000_000
 
 
 def _bwd_pick_block_q(n_pad: int, budget: int = _BWD_VMEM_DEFAULT) -> int:
@@ -120,7 +130,9 @@ def _prng_plan(n_pad: int):
     if not _prng_dropout_requested():
         return False, 0
     bq_bwd = _bwd_pick_block_q(n_pad)
-    if 3 * bq_bwd * n_pad * 4 > 12_000_000:  # bwd falls back to XLA VJP
+    # Mirrors the backward's degenerate-shape gate: prng is refused only
+    # when the backward actually takes its XLA fallback.
+    if 3 * bq_bwd * n_pad * 4 > max(12_000_000, _BWD_VMEM_DEFAULT):
         return False, 0
     import math
 
@@ -618,12 +630,13 @@ def _fused_mhsa_bwd(heads, dim_head, scale, n_true, dropout_rate, res, g):
     use_prng, prng_chunk = (_prng_plan(n_pad) if dropout_rate > 0.0
                             else (False, 0))
     bwd_budget = (_BWD_VMEM_DEFAULT if use_prng
-                  else int(os.environ.get("GAVIKO_BWD_VMEM", "7000000")))
+                  else int(os.environ.get("GAVIKO_BWD_VMEM",
+                                          str(_BWD_VMEM_DEFAULT))))
     block_q = _bwd_pick_block_q(n_pad, bwd_budget)
     # Degenerate-shape gate: fall back to the XLA VJP when even the smallest
-    # q-block cannot keep the score buffers near VMEM. An explicit env budget
-    # above the gate is honored (whole-K backward experiments) by raising the
-    # Mosaic scoped-VMEM limit to match — v5e has 128 MB behind the 32 MB
+    # q-block cannot keep the score buffers near VMEM. A budget above the
+    # gate (the whole-K default) is honored by raising the Mosaic
+    # scoped-VMEM limit to match — v5e has 128 MB behind the 32 MB
     # default limit.
     footprint = 3 * block_q * n_pad * 4
     if footprint > max(12_000_000, bwd_budget):  # degenerate shape: XLA VJP
