@@ -212,8 +212,9 @@ def bench_gaviko_l16_train():
     src/model/gaviko.py:429-434), focal loss gamma=1.2 (ref src/train.py:177),
     global-norm clip 1.0 + Adam, pure bf16 like the train headline. Gradients
     flow only to the trainable subset (the PEFT contract, same split as
-    train/loop.py); the frozen backbone is a closure constant, so its dW
-    dots are never built."""
+    train/loop.py): jax.grad differentiates argument 0 only, so the frozen
+    backbone's dW dots are never built. The frozen dict itself is passed as
+    a jit ARGUMENT — see the chain comment below."""
     import jax
     import jax.numpy as jnp
 
@@ -472,7 +473,7 @@ def _assemble(vals: dict) -> dict:
          "volumes/sec/chip", TARGET_INFER),
         (vals.get("train"),
          "vit-b16 fft train-step throughput (bf16 compute, batch 8; the "
-         "225 target needs 1.03x the measured zero-overhead "
+         "225 target needs ~1.02x the measured zero-overhead "
          "speed-of-light bound for this workload, i.e. provably "
          "unreachable single-chip — scripts/train_floor.py, FLOOR.json; "
          "empirical component floor ~205 vol/s, ARCHITECTURE.md)",

@@ -222,6 +222,12 @@ def main():
                      "--config runs read data.image_folder from the YAML")
 
     config = load_config(args.config)
+    # No explicit --method and no method in the YAML: fall back to the
+    # reference's argparse default (ref src/eval.py — "gaviko"); most
+    # packaged configs carry no model.method key and downstream code
+    # (results filenames, _finish_eval) requires one.
+    if args.method is None and not config["model"].get("method"):
+        args.method = "gaviko"
     apply_method_override(config, args.method)
     config["utils"]["results_dir"] = args.results_dir or config["utils"].get("results_dir")
     config["utils"]["checkpoint"] = args.checkpoint

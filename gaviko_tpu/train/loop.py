@@ -587,6 +587,7 @@ def _run_training(config: dict, model: Model, params: Dict, loaders,
         )
 
         if (epoch == num_epochs - 1 or resume_interval <= 0
+                or guard.preempted  # the break below must leave fresh state
                 or time.monotonic() - last_resume_save >= resume_interval):
             _save_resume(current_epoch)
             last_resume_save = time.monotonic()

@@ -140,6 +140,8 @@ def main():
     trace_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/trace_{which}"
     builders = {"train": build_train_step, "infer": build_infer,
                 "gaviko_train": build_gaviko_train_step}
+    if which not in builders:
+        sys.exit(f"usage: trace_step.py {'|'.join(builders)} [trace_dir]")
     run = builders[which]()
     run()  # compile + warm
     run()

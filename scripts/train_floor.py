@@ -11,9 +11,9 @@ Two different "floors" exist and this script computes the HARD one:
   rate on weight GEMMs, peak VPU on serial passes, triad-rate optimizer).
   Nothing on this chip can beat it. ``target_needs_fraction_of_bound``
   >= 1.0 means the target is PROVABLY unreachable; the round-4 recorded
-  run (FLOOR.json) measures 1.029 at B8 and 1.003 at B16 — the 225
-  target's step time is below even the zero-overhead bound. The measured
-  188/196 vol/s steps run at ~86-89% of the bound, with the per-kernel
+  run (FLOOR.json) measures ~1.02 at B8 (unreachable) and ~1.00 at B16
+  (at the line — within measurement noise of the bound). The measured
+  193/200 vol/s steps run at ~88-90% of the bound, with the per-kernel
   decomposition showing each hot kernel already at 85-95% of its own
   component peak.
 
@@ -156,10 +156,11 @@ VPU_PEAK_TOPS = 3.9  # v5e: ~1024 f32 lanes x 4 ALUs x ~0.94 GHz
 # lower bounds. Deliberately GENEROUS to the hardware (each transcendental
 # counted as its polynomial core only), keeping the bound conservative:
 # - softmax fwd: max-reduce 1, sub 1, exp ~7 (poly), sum-reduce 1, div 1
-# - softmax bwd: mul 1, rowsum-reduce 1, sub 1, fnma 2
+#   (= 11)
+# - softmax bwd: mul 1, rowsum-reduce 1, sub 1, fnma 2    (= 5)
 # - gelu-tanh fwd: x^3 poly 3, tanh ~8 (poly), affine 3   (~14)
 # - gelu-tanh bwd: sech^2 chain ~ same again               (~14)
-VPU_OPS = {"softmax_fwdbwd": 11 + 6, "gelu_fwdbwd": 28}
+VPU_OPS = {"softmax_fwdbwd": 11 + 5, "gelu_fwdbwd": 28}
 
 
 def _vpu_bound_ms(kind, n_elements):

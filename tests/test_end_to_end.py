@@ -260,3 +260,36 @@ def test_pure_bf16_training_saves_torch_loadable_checkpoint(tmp_path):
             assert np.array_equal(v.view(np.uint16), want.view(np.uint16)), k
         else:
             assert np.array_equal(v, want), k
+
+
+def test_eval_cli_method_defaults_to_gaviko_when_yaml_has_none(tmp_path, monkeypatch):
+    """--method is optional; a config YAML without model.method must fall
+    back to the reference's argparse default ("gaviko", ref src/eval.py)
+    BEFORE evaluate() runs — downstream code (results filenames,
+    _finish_eval) requires the key (regression: after --method's default
+    became None for artifact-mode validation, such configs crashed with
+    KeyError after the full eval compute)."""
+    import sys
+
+    import yaml
+
+    import eval as eval_mod
+    from gaviko_tpu.cli import evaluate as eval_cli
+
+    root = str(tmp_path)
+    csv_path, volumes = make_synth_dataset(root, n_train=2, n_val=2)
+    config = tiny_config(root, csv_path, volumes)
+    del config["model"]["method"]  # most packaged configs carry no method
+    cfg_path = os.path.join(root, "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    captured = {}
+    monkeypatch.setattr(eval_cli, "evaluate",
+                        lambda cfg: captured.update(cfg["model"]) or {})
+    monkeypatch.setattr(
+        sys, "argv",
+        ["eval.py", "--config", cfg_path, "--results_dir",
+         os.path.join(root, "outputs")])
+    eval_mod.main()
+    assert captured.get("method") == "gaviko"

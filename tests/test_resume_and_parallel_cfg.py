@@ -357,6 +357,59 @@ def test_resume_save_interval_rate_limits_boundary_saves(tmp_path, monkeypatch):
     assert len(calls) == 3, calls
 
 
+def test_preemption_at_epoch_boundary_saves_despite_interval(tmp_path):
+    """A SIGTERM that lands during validation/bookkeeping (epoch boundary)
+    must persist resume state even when resume_save_interval_s has not
+    elapsed — 'preemption always saves' is the resume contract (regression:
+    the rate-limit gate skipped the save and the break exited with stale
+    or no state)."""
+    import json
+    import logging as _logging
+    import signal
+
+    import train as train_mod
+
+    root = str(tmp_path)
+    csv_path, volumes = make_synth_dataset(root)
+    config = tiny_config(root, csv_path, volumes, method="bitfit", epochs=5)
+    config["train"]["patience"] = 100
+    config["train"]["resume_save_interval_s"] = 1e9  # never by-time
+
+    # Filters only see records that pass the root LEVEL check; train()
+    # assumes the CLI configured logging, so configure INFO here.
+    from gaviko_tpu.utils.logging import setup_logging
+
+    setup_logging(log_dir=os.path.join(root, "log"))
+
+    class FireOnEpochSummary(_logging.Filter):
+        fired = False
+
+        def filter(self, record):
+            # The epoch-0 summary line ("Epoch 1: loss ...") is logged
+            # after validation and BEFORE the boundary-save gate; a
+            # synchronous self-SIGTERM here lands exactly at the boundary.
+            if (not FireOnEpochSummary.fired
+                    and record.getMessage().startswith("Epoch 1: loss")):
+                FireOnEpochSummary.fired = True
+                os.kill(os.getpid(), signal.SIGTERM)
+            return True
+
+    f = FireOnEpochSummary()
+    _logging.getLogger().addFilter(f)
+    try:
+        r = train_mod.train(config)
+    finally:
+        _logging.getLogger().removeFilter(f)
+    assert f.fired and r["preempted"]
+
+    state_path = os.path.join(
+        root, "weights", "experiments", "bitfit", "resume_state.npz")
+    assert os.path.exists(state_path), "boundary preemption did not save"
+    with np.load(state_path) as z:
+        meta = json.loads(bytes(z["meta::json"]).decode())
+    assert meta["epoch"] == 1 and meta["step_in_epoch"] == 0
+
+
 def test_train_seed_drives_data_stream(tmp_path):
     """train.seed must reach the Loader: shuffle order (and host-side
     augmentation draws) differ across seeds (regression: every seed used to
