@@ -113,7 +113,57 @@ def device_op_summary(trace_dir: str):
     return out
 
 
+def source_line_summary(trace_dir: str, hlo_path: str, n_dispatch: int = 1):
+    """Join device-op durations with the optimized HLO's per-op
+    ``source_file``/``source_line`` metadata -> {"file.py:line": ms} per
+    dispatch, plus an "unattributed" bucket keyed by op class.
+
+    This is how the round-4 flagship-train decomposition was produced:
+    dump the compiled module via ``jitted.lower(...).compile().as_text()``,
+    trace the same program (scripts/trace_step.py), then attribute. Ops
+    with no metadata (copies/slices inserted by layout assignment) land in
+    the unattributed bucket.
+    """
+    import re
+
+    src = {}
+    pat = re.compile(
+        r"%([\w.\-]+) = .*?source_file=\"([^\"]+)\" source_line=(\d+)")
+    with open(hlo_path) as f:
+        for line in f:
+            m = pat.search(line)
+            if m:
+                src[m.group(1)] = f"{m.group(2).split('/')[-1]}:{m.group(3)}"
+
+    by_source, unattr = {}, {}
+    for pname, ops in device_op_summary(trace_dir).items():
+        if "Async" in pname or "XLA Ops" not in pname:
+            continue
+        for name, ps in ops.items():
+            base = name.split(" ")[0].lstrip("%")
+            ms = ps / 1e9 / n_dispatch
+            if base in src:
+                by_source[src[base]] = by_source.get(src[base], 0.0) + ms
+            else:
+                cls = re.sub(r"\.\d+$", "", base)
+                unattr[cls] = unattr.get(cls, 0.0) + ms
+    return by_source, unattr
+
+
 def main():
+    if len(sys.argv) > 2 and sys.argv[2].endswith((".hlo", ".txt")):
+        # by-source mode: xplane.py <trace_dir> <optimized.hlo> [n_dispatch]
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+        by_source, unattr = source_line_summary(sys.argv[1], sys.argv[2], n)
+        total = sum(by_source.values()) + sum(unattr.values())
+        print(f"total {total:.2f} ms/dispatch "
+              f"(attributed {sum(by_source.values()):.2f})")
+        for k, ms in sorted(by_source.items(), key=lambda kv: -kv[1])[:30]:
+            print(f"{ms:8.3f} ms  {k}")
+        print("--- unattributed by op class ---")
+        for k, ms in sorted(unattr.items(), key=lambda kv: -kv[1])[:10]:
+            print(f"{ms:8.3f} ms  {k}")
+        return
     trace = sys.argv[1]
     top = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     for pname, agg in device_op_summary(trace).items():
