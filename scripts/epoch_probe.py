@@ -135,9 +135,9 @@ def main():
     if walls:
         steady = float(np.min(walls))
         # Step budget from the standing on-chip decomposition:
-        # 45.8 ms train step + 8.4 ms device augmentation per batch-8,
-        # plus the val forward (~11.4 ms/batch at B8 eval).
-        budget = steps * (0.0458 + 0.0084) + ((n_val + 7) // 8) * 0.0114
+        # 41.4 ms train step (round-4 whole-K backward) + 8.4 ms device
+        # augmentation per batch-8, plus the val forward (~11.4 ms/batch).
+        budget = steps * (0.0414 + 0.0084) + ((n_val + 7) // 8) * 0.0114
         # Host->device wire rate for one raw f32 batch-8 (98 MB): through
         # the axon relay this is ~10-16 MB/s and DOMINATES the epoch; on a
         # directly-attached TPU host the same transfer is PCIe-rate
@@ -163,7 +163,7 @@ def main():
               f"budget {budget_wire:.2f}s -> {steady / budget_wire:.2f}x")
         vols = n_train / steady
         print(f"end-to-end training throughput: {vols:.1f} vol/s "
-              f"(step-only ceiling {8 / 0.0542:.1f})")
+              f"(step-only ceiling {8 / 0.0498:.1f})")
         if record:
             import json
 
@@ -179,7 +179,7 @@ def main():
                 "wall_over_wire_budget": round(steady / budget_wire, 2),
                 "epoch_walls_s": [round(w, 2) for w in walls],
                 "end_to_end_vols_per_sec": round(vols, 1),
-                "step_only_ceiling_vols_per_sec": round(8 / 0.0542, 1),
+                "step_only_ceiling_vols_per_sec": round(8 / 0.0498, 1),
                 "host_note": "axon-relay environment: host->device uploads "
                              "run at the recorded h2d_wire rate (~10-16 "
                              "MB/s vs PCIe >10 GB/s on a real TPU host), "
