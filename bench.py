@@ -249,7 +249,12 @@ def bench_gaviko_l16_train():
             # embedding path depends only on (frozen, vol) and would be
             # hoisted out of the loop otherwise — a real epoch patchifies
             # every step. O(B*vol) add is ~0.06 ms at B4.
-            eps = jax.tree.leaves(tr)[0].reshape(-1)[0].astype(vol.dtype)
+            # Tap the first FLOAT leaf explicitly (advisor r4): an integer/
+            # bool first-alphabetical leaf would still work via astype but
+            # would pick up a spurious (sub-bf16-resolution) gradient term.
+            eps_leaf = next(l for l in jax.tree.leaves(tr)
+                            if jnp.issubdtype(l.dtype, jnp.floating))
+            eps = eps_leaf.reshape(-1)[0].astype(vol.dtype)
             v = vol + eps * jnp.asarray(1e-30, vol.dtype)
             grads = jax.grad(loss_fn)(tr, frozen, v, jax.random.fold_in(key, i))
             return fused_optim.step(grads, o, tr, 3e-4, clip=1.0, eps=1e-4)

@@ -60,8 +60,11 @@ class _BatchAssembler:
             for i in idxs
         ]
         vols = [self.ds.load(i, rng) for i, rng in zip(idxs, rngs)]
-        n_valid = len(vols)
-        n_pad = len(rows) - n_valid
+        # GLOBAL real-row count, matching Loader.assemble (see the comment
+        # there): metric weighting needs the global denominator under
+        # multi-host sharding.
+        n_valid = min(len(bidx), self.batch_size)
+        n_pad = len(rows) - len(vols)
         if n_pad:
             template = vols[0] if vols else self.ds.load(
                 int(bidx[0]), np.random.RandomState(0))

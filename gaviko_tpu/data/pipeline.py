@@ -82,8 +82,10 @@ class Loader:
     (rows [pi*B/pc, (pi+1)*B/pc) — matching a P('data') row layout), with
     per-sample augmentation RNG keyed by the GLOBAL dataset index so the
     epoch is deterministic regardless of host count. Requires pad_to_batch
-    and batch_size % process_count == 0. ``n_valid`` is then the host-local
-    real-row count.
+    and batch_size % process_count == 0. ``n_valid`` stays the GLOBAL
+    real-row count of the batch (the sharded step computes loss/#correct
+    over the assembled global batch, so metric weighting needs the global
+    denominator).
     """
 
     def __init__(
@@ -168,8 +170,15 @@ class Loader:
                 for i in idxs
             ]
             vols = list(pool.map(self.ds.load, idxs, rngs))
-            n_valid = len(vols)
-            n_pad = len(rows) - n_valid
+            # n_valid is the GLOBAL real-row count of this batch, not the
+            # host-local slice's: the sharded train step computes loss /
+            # #correct over the assembled GLOBAL batch, so the metric
+            # weighting in train/loop.py needs the global denominator
+            # (host-local counts also differ across hosts — pad rows land
+            # on the last host's slice; found by scripts/multihost_dryrun.py:
+            # 2-process CSV losses came out exactly halved).
+            n_valid = min(len(bidx), self.batch_size)
+            n_pad = len(rows) - len(vols)
             if n_pad:
                 template = vols[0] if vols else self.ds.load(
                     int(bidx[0]), np.random.RandomState(0)

@@ -34,13 +34,29 @@ def _initial_impl() -> str:
         return "xla"
 
 
-_DEFAULT_IMPL = _initial_impl()
+def _default_impl() -> str:
+    """Resolve the default impl LAZILY: querying jax.default_backend() at
+    import time initializes the XLA backend, which breaks
+    ``jax.distributed.initialize`` (must run before any backend init —
+    found by the 2-process run in scripts/multihost_dryrun.py)."""
+    impl = globals().get("_DEFAULT_IMPL")
+    if impl is None:
+        impl = _initial_impl()
+        globals()["_DEFAULT_IMPL"] = impl
+    return impl
+
+
+def __getattr__(name: str):
+    # Keep the historical `attn_mod._DEFAULT_IMPL` read surface (models/
+    # tests/bench) while deferring backend detection to first use.
+    if name == "_DEFAULT_IMPL":
+        return _default_impl()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def set_default_impl(impl: str) -> None:
-    global _DEFAULT_IMPL
     assert impl in ("xla", "flash")
-    _DEFAULT_IMPL = impl
+    globals()["_DEFAULT_IMPL"] = impl
 
 
 def multi_head_attention(
@@ -55,7 +71,7 @@ def multi_head_attention(
     impl: Optional[str] = None,
 ) -> jax.Array:
     """q, k, v: [B, H, N, Dh] -> [B, H, N, Dh]."""
-    impl = impl or _DEFAULT_IMPL
+    impl = impl or _default_impl()
     use_dropout = dropout_enabled and dropout_rate > 0.0
     if impl == "flash" and not use_dropout:
         from gaviko_tpu.ops.flash_attention import flash_attention

@@ -38,26 +38,57 @@ def maybe_init_multihost(par_cfg: dict) -> Tuple[int, int]:
 
     The reference's analog is DeepSpeed's (never-exercised) multi-process
     launch (ref: src/train.py:232-243). Enabled via
-    ``train.parallel.multihost: true``; coordinator address / process
-    count / process id come from the standard JAX env vars (or TPU pod
-    metadata, auto-detected). Idempotent and safe on a single host: if
-    initialization fails or was already done, training proceeds
-    single-process. Hardware-unverified in this environment (one chip);
-    the per-host batch-slicing math it feeds is unit-tested in
-    tests/test_parallel.py.
+    ``train.parallel.multihost: true``. Topology comes from, in order:
+    explicit config keys (``parallel.coordinator_address`` /
+    ``num_processes`` / ``process_id``), the ``JAX_COORDINATOR_ADDRESS`` /
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` env vars, or JAX's cluster
+    auto-detection (TPU pod metadata / SLURM / OpenMPI).
+
+    Failure semantics: when a multi-process topology was EXPLICITLY
+    requested (num_processes > 1 via config/env), an init failure raises —
+    silently training a 1/N shard of the data would be wrong. With no
+    explicit topology (bare ``multihost: true`` relying on auto-detection),
+    failure degrades to single-process with a warning, so the same YAML
+    runs on a laptop. Exercised for real by the 2-process CPU run in
+    tests/test_multihost.py / scripts/multihost_dryrun.py.
 
     Returns (process_index, process_count).
     """
     if par_cfg.get("multihost"):
-        try:
-            jax.distributed.initialize()
-        except Exception as e:  # noqa: BLE001 - single-host fallback
-            import logging
+        import logging
+        import os
 
-            logging.warning(
-                f"jax.distributed.initialize failed ({e}); continuing "
-                f"single-process."
-            )
+        def _opt(key: str, env: str):
+            v = par_cfg.get(key)
+            return os.environ.get(env) if v is None else v
+
+        kwargs = {}
+        addr = _opt("coordinator_address", "JAX_COORDINATOR_ADDRESS")
+        nproc = _opt("num_processes", "JAX_NUM_PROCESSES")
+        pid = _opt("process_id", "JAX_PROCESS_ID")
+        if addr is not None:
+            kwargs["coordinator_address"] = str(addr)
+        if nproc is not None:
+            kwargs["num_processes"] = int(nproc)
+        if pid is not None:
+            kwargs["process_id"] = int(pid)
+        explicit = kwargs.get("num_processes", 1) > 1
+        try:
+            jax.distributed.initialize(**kwargs)
+        except Exception as e:  # noqa: BLE001
+            already = "already initialized" in str(e).lower()
+            if explicit and not already:
+                raise RuntimeError(
+                    f"multi-host init failed for an explicitly requested "
+                    f"{kwargs.get('num_processes')}-process topology: {e}. "
+                    f"Refusing to continue single-process (each process "
+                    f"would silently train on a 1/N data shard)."
+                ) from e
+            if not already:
+                logging.warning(
+                    f"jax.distributed.initialize failed ({e}); continuing "
+                    f"single-process."
+                )
     return jax.process_index(), jax.process_count()
 
 

@@ -353,15 +353,22 @@ def _run_training(config: dict, model: Model, params: Dict, loaders,
         from gaviko_tpu.utils.checkpoint import (
             save_train_state,
             save_train_state_orbax,
+            tree_to_host,
         )
 
+        # Multi-host: the gather below is COLLECTIVE (ZeRO moments span
+        # processes), so every process runs it; only process 0 writes.
+        host_trainable = tree_to_host(dict(trainable))
+        host_opt = tree_to_host(opt_state)
+        if jax.process_index() != 0:
+            return None
         os.makedirs(resume_dir, exist_ok=True)
         saver = save_train_state_orbax if ckpt_backend == "orbax" else save_train_state
         path = os.path.join(resume_dir, resume_name)
         saver(
             path,
-            {k: np.asarray(v) for k, v in trainable.items()},
-            jax.tree.map(np.asarray, opt_state),
+            host_trainable,
+            host_opt,
             meta={
                 "epoch": epoch_done,
                 "step_in_epoch": step_in_epoch,
@@ -383,7 +390,10 @@ def _run_training(config: dict, model: Model, params: Dict, loaders,
     # vs 15 s without it). The final epoch, early stopping, and preemption
     # ALWAYS save — those states are the resume contract.
     resume_interval = float(train_cfg.get("resume_save_interval_s", 600.0))
-    last_resume_save = time.monotonic()
+    # -inf seed: the FIRST epoch boundary always saves, so a hard kill/crash
+    # (no SIGTERM) never loses more than one epoch even when the interval
+    # rate-limiter would otherwise skip early boundaries.
+    last_resume_save = float("-inf")
     for epoch in range(start_epoch, num_epochs):
         t_epoch = time.time()
         # Resume-exact data order: shuffle/augment RNG follows the TRUE epoch
@@ -557,18 +567,25 @@ def _run_training(config: dict, model: Model, params: Dict, loaders,
             if val_acc_max > train_cfg["save_threshold"]:
                 method = config["model"]["method"]
                 save_dir = os.path.join(train_cfg["save_dir"], "experiments", method)
-                os.makedirs(save_dir, exist_ok=True)
                 backbone = config["model"]["backbone"].replace("-", "_")
                 best_ckpt_path = os.path.join(
                     save_dir,
                     f"{method}_{backbone}_best_model_epoch{current_epoch}_acc{val_acc:.4f}.pt",
                 )
-                state = {k: np.asarray(v) for k, v in {**frozen, **trainable}.items()}
-                payload = filter_state(state, trainable.keys())
-                from gaviko_tpu.weights.torch_io import save_pt
+                # Params are replicated on every process (only optimizer
+                # moments are ZeRO-sharded), so this fetch is local; the
+                # process-0 gate just prevents N hosts clobbering one file
+                # on a shared filesystem.
+                from gaviko_tpu.utils.checkpoint import tree_to_host
 
-                save_pt(best_ckpt_path, payload)
-                logging.info(f"Model saved to {best_ckpt_path}")
+                state = tree_to_host({**frozen, **trainable})
+                if jax.process_index() == 0:
+                    os.makedirs(save_dir, exist_ok=True)
+                    payload = filter_state(state, trainable.keys())
+                    from gaviko_tpu.weights.torch_io import save_pt
+
+                    save_pt(best_ckpt_path, payload)
+                    logging.info(f"Model saved to {best_ckpt_path}")
             epoch_since_improvement = 0
         else:
             epoch_since_improvement += 1

@@ -80,3 +80,23 @@ def load_train_state(
         opt_state = jax.tree.unflatten(treedef, leaves)
         meta = json.loads(bytes(z["meta::json"]).decode())
     return trainable, opt_state, meta
+
+
+def tree_to_host(tree):
+    """Fetch a pytree of (possibly multi-host-sharded) arrays to host numpy.
+
+    Single-process / fully-addressable leaves are a plain ``np.asarray``.
+    Leaves sharded across processes (ZeRO optimizer moments over a mesh
+    spanning hosts) are materialized via
+    ``multihost_utils.process_allgather`` — a COLLECTIVE, so every process
+    must call this even when only process 0 writes the resulting file.
+    """
+
+    def fetch(v):
+        if isinstance(v, jax.Array) and not v.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(v, tiled=True))
+        return np.asarray(v)
+
+    return jax.tree.map(fetch, tree)

@@ -22,3 +22,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute tests (multi-process runs etc.)"
+    )

@@ -107,9 +107,14 @@ def test_loader_shard_reconstructs_global_batch(tmp_path):
         np.testing.assert_array_equal(
             f[1], np.concatenate([a[1], b[1]], axis=0)
         )
-        assert a[2] + b[2] == f[2]  # local n_valid sums to global
-    # Final batch: 2 real rows -> host 0 all-real, host 1 all-pad.
-    assert s0[-1][2] == 2 and s1[-1][2] == 0
+        # Every host reports the GLOBAL real-row count: the sharded step
+        # computes loss/#correct over the assembled global batch, so the
+        # metric denominators must match the single-process run (host-local
+        # counts halved every multi-host CSV loss — scripts/multihost_dryrun).
+        assert a[2] == b[2] == f[2]
+    # Final batch: 2 real rows globally; host 1's slice is all-pad but
+    # still reports the global count.
+    assert s0[-1][2] == 2 and s1[-1][2] == 2
     assert (s1[-1][1] == -100).all()
 
 
