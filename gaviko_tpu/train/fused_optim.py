@@ -55,7 +55,11 @@ def step(
     optax.chain(clip_by_global_norm(clip), adam(sched, eps)) + apply_updates:
     the LR schedule is evaluated at the PRE-increment count (0-based first
     step) and Adam bias correction at the post-increment count, exactly as
-    the optax chain's two inner counters do."""
+    the optax chain's two inner counters do.
+
+    ``b1`` may be a SCHEDULE (callable of the pre-increment count): torch's
+    OneCycleLR cycles Adam's beta1 every step and the bias-correction power
+    uses the step's current beta1 — see train/schedule.py."""
     # Phase 1: global norm (one read pass; XLA fuses square+reduce per leaf).
     gn = jnp.sqrt(sum(
         jnp.sum(jnp.square(g.astype(jnp.float32)))
@@ -64,6 +68,9 @@ def step(
     scale = jnp.where(gn < clip, 1.0, clip / gn)
 
     lr = sched(state.count) if callable(sched) else jnp.asarray(sched)
+    b1_cycled = callable(b1)
+    if b1_cycled:
+        b1 = b1(state.count).astype(jnp.float32)
     count = state.count + 1
     cf = count.astype(jnp.float32)
     c1 = 1.0 - b1 ** cf
@@ -92,7 +99,10 @@ def step(
     # overlap with neighboring work better than 48 serialized pallas_calls.
     # Kept behind GAVIKO_PALLAS_ADAM=1 as the documented rejected variant.
     import os
-    use_pallas = os.environ.get("GAVIKO_PALLAS_ADAM", "0") == "1"
+    # (The rejected pallas leaf kernel bakes b1 in as a static constant, so
+    # it is incompatible with the cycled-beta1 schedule.)
+    use_pallas = (os.environ.get("GAVIKO_PALLAS_ADAM", "0") == "1"
+                  and not b1_cycled)
     if use_pallas:
         from gaviko_tpu.ops.fused_adam import adam_leaf, adam_leaf_supported
         scalars = jnp.stack([

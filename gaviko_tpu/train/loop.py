@@ -71,13 +71,26 @@ def make_optimizer(train_cfg: dict, total_steps: int):
     reference's actual optimizer.
     """
     accum = int(train_cfg.get("accumulation_steps", 1) or 1)
-    sched = schedule_lib.from_config(
-        train_cfg["scheduler"], max(total_steps // accum, 1)
-    )
+    sched_steps = max(total_steps // accum, 1)
+    sched = schedule_lib.from_config(train_cfg["scheduler"], sched_steps)
+    # torch OneCycleLR cycles Adam's beta1 by default (0.95 -> 0.85 -> 0.95,
+    # inverse to the lr curve) — the reference never opts out, so neither do
+    # we (scheduler.cycle_momentum: false restores fixed beta1=0.9). See
+    # train/schedule.py.
+    b1_sched = schedule_lib.beta1_from_config(train_cfg["scheduler"], sched_steps)
     eps = 1e-4 if train_cfg.get("fp16") else 1e-8  # ref: train.py:185-189
+    if b1_sched is None:
+        inner = optax.adam(learning_rate=sched, eps=eps)
+    else:
+        # Same state-leaf flattening as optax.adam (ScaleByAdamState +
+        # schedule count), so resume files stay structurally compatible.
+        inner = optax.chain(
+            schedule_lib.scale_by_cycled_adam(b1_sched, eps=eps),
+            optax.scale_by_learning_rate(sched),
+        )
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),  # ref: train.py:315-316
-        optax.adam(learning_rate=sched, eps=eps),
+        inner,
     )
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
@@ -88,7 +101,8 @@ def make_optimizer(train_cfg: dict, total_steps: int):
     # resume checkpoint).
     fused = None
     if accum == 1 and train_cfg.get("fused_optimizer", True):
-        fused = {"sched": sched, "clip": 1.0, "eps": eps}
+        fused = {"sched": sched, "clip": 1.0, "eps": eps,
+                 "b1": b1_sched if b1_sched is not None else 0.9}
     return tx, sched, fused
 
 
@@ -101,6 +115,7 @@ def apply_optimizer(tx, fused, grads, opt_state, trainable):
         return fused_optim.step(
             grads, opt_state, trainable, fused["sched"],
             clip=fused["clip"], eps=fused["eps"],
+            b1=fused.get("b1", 0.9),
         )
     updates, opt_state = tx.update(grads, opt_state, trainable)
     return optax.apply_updates(trainable, updates), opt_state

@@ -339,11 +339,14 @@ def test_resume_save_interval_rate_limits_boundary_saves(tmp_path, monkeypatch):
     root = str(tmp_path)
     csv_path, volumes = make_synth_dataset(root)
 
-    # Default interval (600 s >> test wall time): only the final epoch saves.
+    # Default interval (600 s >> test wall time): the FIRST boundary always
+    # saves (crash durability stays one-epoch from the start — advisor r4),
+    # intermediate boundaries are rate-limited away, and the final epoch
+    # always saves -> 2 of 3 boundaries.
     config = tiny_config(root, csv_path, volumes, method="bitfit", epochs=3)
     config["train"]["patience"] = 100  # keep early stopping out of the way
     train_mod.train(config)
-    assert len(calls) == 1, calls
+    assert len(calls) == 2, calls
     state_path = os.path.join(
         root, "weights", "experiments", "bitfit", "resume_state.npz")
     assert os.path.exists(state_path)
