@@ -152,6 +152,15 @@ def evaluate(config: dict) -> dict:
         pretrained_dir=config["model"].get("pretrained_dir", "./pretrained"),
         checkpoint_path=ckpt,
     )
+    if config["utils"].get("quantize") == "int8":
+        # Same w8a8 sidecar quantization the serving path uses
+        # (serve.py --quantize int8): validates a quantized checkpoint
+        # through the REAL metrics path (accuracy/kappa/AUC) instead of
+        # synthetic-logit agreement only.
+        from gaviko_tpu.ops.int8_linear import quantize_backbone
+
+        logging.info("Evaluating with int8 (w8a8) backbone GEMMs")
+        params = quantize_backbone(params, model.spec.depth)
     trainable, frozen = split_params(model, params)
     import optax
 
@@ -195,6 +204,11 @@ def main():
                         choices=list(METHODS),
                         help="PEFT method (--config runs only; artifacts "
                              "bake the method in at export time)")
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8"],
+                        help="evaluate with the serving path's w8a8 "
+                             "quantization (validates the quantized "
+                             "checkpoint through the metrics path)")
     args = parser.parse_args()
 
     if (args.config is None) == (args.artifact is None):
@@ -208,6 +222,9 @@ def main():
         if args.method is not None:
             parser.error("--method is baked into the artifact at export "
                          "time; not accepted with --artifact")
+        if args.quantize is not None:
+            parser.error("--quantize applies to --config runs; artifacts "
+                         "bake their precision in at export time")
         os.makedirs(args.results_dir, exist_ok=True)
         setup_logging(log_dir=args.results_dir)
         evaluate_artifact(args.artifact, args.data_path, args.results_dir,
@@ -231,6 +248,8 @@ def main():
     apply_method_override(config, args.method)
     config["utils"]["results_dir"] = args.results_dir or config["utils"].get("results_dir")
     config["utils"]["checkpoint"] = args.checkpoint
+    if args.quantize is not None:
+        config["utils"]["quantize"] = args.quantize
     os.makedirs(config["utils"]["results_dir"], exist_ok=True)
     setup_logging(log_dir=config["utils"]["results_dir"])
     logging.info(f"Config: {config}")

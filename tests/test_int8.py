@@ -150,3 +150,63 @@ def test_quantize_backbone_refuses_ssf_params():
     out = quantize_backbone(params, 1)
     assert set(out) == set(params)
     assert not any(k.endswith(INT8_SUFFIX) for k in out)
+
+
+def test_int8_eval_metrics_agree_with_fp(tmp_path):
+    """A TRAINED checkpoint evaluated through the REAL metrics path
+    (accuracy / quadratic kappa / macro-OVR AUC, eval.py --quantize int8)
+    in fp vs w8a8 — the serving-mode accuracy claim rests on labeled-set
+    metric agreement, not synthetic-logit MAE (round-4 verdict #6).
+    Ref metric definitions: src/eval.py:120-122."""
+    import os
+
+    import pandas as pd
+
+    import train as train_mod
+    from gaviko_tpu.cli import evaluate as eval_cli
+    from tests.test_end_to_end import tiny_config
+
+    root = str(tmp_path)
+    # Learnable spatial signal (bright left/right halves along H) so the
+    # trained model's predictions are confident — agreement on near-tied
+    # random logits would only measure quantization noise flipping coin
+    # tosses.
+    rng = np.random.RandomState(1)
+    volumes = os.path.join(root, "volumes")
+    os.makedirs(volumes)
+    rows = []
+    for i in range(12):
+        label = i % 2
+        vol = rng.rand(24, 32, 32).astype(np.float32) * 0.2
+        if label:
+            vol[:, :16] += 1.0
+        else:
+            vol[:, 16:] += 1.0
+        name = f"v{i:02d}.npz"
+        np.savez(os.path.join(volumes, name), data=vol)
+        rows.append({"mri_path": name, "kl_grade": label,
+                     "subset": "train" if i < 8 else "val"})
+    csv_path = os.path.join(root, "labels.csv")
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+
+    config = tiny_config(root, csv_path, volumes, method="fft", epochs=4)
+    config["train"]["loss_fn"] = "cross_entropy"
+    config["train"]["scheduler"]["max_lr"] = 1e-3
+    result = train_mod.train(config)
+    assert result["best_ckpt_path"]
+
+    config["utils"]["checkpoint"] = result["best_ckpt_path"]
+    fp = eval_cli.evaluate(config)
+    config["utils"]["quantize"] = "int8"
+    q8 = eval_cli.evaluate(config)
+
+    fp_pred = pd.read_csv(fp["csv"])["outputs"]
+    q8_pred = pd.read_csv(q8["csv"])["outputs"]
+    agreement = float((fp_pred == q8_pred).mean())
+    assert agreement == 1.0, (agreement, fp, q8)
+    assert abs(fp["accuracy"] - q8["accuracy"]) <= 1e-9, (fp, q8)
+    assert abs(fp["kappa"] - q8["kappa"]) <= 1e-9, (fp, q8)
+    # AUC depends on the softmax probabilities, not just argmax; int8 GEMM
+    # noise moves logits ~1e-2 relative, which can reorder near-tied
+    # probabilities.
+    assert abs(fp["auc"] - q8["auc"]) <= 0.05, (fp, q8)
