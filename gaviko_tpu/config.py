@@ -248,6 +248,16 @@ def make_spec(model_cfg: dict) -> ModelSpec:
         emb_dropout=model_cfg.get("emb_dropout", 0.0),
         freeze_vit=model_cfg.get("freeze_vit", False),
         fp16=model_cfg.get("fp16", False),
-        gelu=model_cfg.get("gelu", "exact"),
+        gelu=_validated_gelu(model_cfg.get("gelu", "exact")),
         **kw,
     )
+
+
+def _validated_gelu(mode: str) -> str:
+    # exact = true erf (torch nn.GELU default; A&S inside Mosaic kernels),
+    # tanh = torch's tanh approximation (fast deployment), erf_fast =
+    # tanh-form erf fit (exact-parity budget at near-tanh cost).
+    allowed = ("exact", "tanh", "erf_fast")
+    if mode not in allowed:
+        raise ValueError(f"model.gelu must be one of {allowed}, got {mode!r}")
+    return mode

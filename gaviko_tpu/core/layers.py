@@ -104,6 +104,18 @@ def gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+def gelu_spec(x: jax.Array, mode: str) -> jax.Array:
+    """XLA-path GELU honoring ``spec.gelu``: 'exact' uses the true erf
+    (only Mosaic kernels need an erf substitute), 'tanh' the torch tanh
+    approximation, 'erf_fast' the tanh-form erf fit (5.5e-5 max GELU
+    error, 2.2e-6 full-depth fp32 logit MAE — see ops/fused_mlp.py)."""
+    if mode == "erf_fast":
+        from gaviko_tpu.ops.fused_mlp import gelu_erf_fast_f32
+
+        return gelu_erf_fast_f32(x)
+    return jax.nn.gelu(x, approximate=(mode == "tanh"))
+
+
 def quick_gelu(x: jax.Array) -> jax.Array:
     """x * sigmoid(1.702 x) (ref: gaviko.py:15-17, dvpt.py:21-23)."""
     return x * jax.nn.sigmoid(1.702 * x)

@@ -27,6 +27,7 @@ from gaviko_tpu.core.layers import (
     RngStream,
     dropout,
     gelu,
+    gelu_spec,
     layer_norm,
     linear,
 )
@@ -253,7 +254,7 @@ def feedforward_block(
             p[f"{prefix}.net.4.weight" + INT8_SUFFIX],
             p[f"{prefix}.net.4.weight" + SCALE_SUFFIX],
             p[f"{prefix}.net.4.bias"],
-            1e-5, spec.gelu == "tanh", residual=False,
+            1e-5, spec.gelu, residual=False,
         )
     if (
         attn_mod._DEFAULT_IMPL == "flash"
@@ -271,11 +272,11 @@ def feedforward_block(
             p[f"{prefix}.net.0.weight"], p[f"{prefix}.net.0.bias"],
             p[f"{prefix}.net.1.weight"], p[f"{prefix}.net.1.bias"],
             p[f"{prefix}.net.4.weight"], p[f"{prefix}.net.4.bias"],
-            seed, 1e-5, spec.gelu == "tanh", drop,
+            seed, 1e-5, spec.gelu, drop,
         )
     h = layer_norm(p, f"{prefix}.net.0", x)
     h = linear(p, f"{prefix}.net.1", h)
-    h = jax.nn.gelu(h, approximate=(spec.gelu == "tanh"))
+    h = gelu_spec(h, spec.gelu)
     h = dropout(h, spec.dropout, train, rngs)
     h = linear(p, f"{prefix}.net.4", h)
     h = dropout(h, spec.dropout, train, rngs)
@@ -309,7 +310,7 @@ def feedforward_block_res(
             p[f"{prefix}.net.4.weight" + INT8_SUFFIX],
             p[f"{prefix}.net.4.weight" + SCALE_SUFFIX],
             p[f"{prefix}.net.4.bias"],
-            1e-5, spec.gelu == "tanh", residual=True,
+            1e-5, spec.gelu, residual=True,
         )
     if (
         attn_mod._DEFAULT_IMPL == "flash"
@@ -325,7 +326,7 @@ def feedforward_block_res(
             p[f"{prefix}.net.0.weight"], p[f"{prefix}.net.0.bias"],
             p[f"{prefix}.net.1.weight"], p[f"{prefix}.net.1.bias"],
             p[f"{prefix}.net.4.weight"], p[f"{prefix}.net.4.bias"],
-            seed, 1e-5, spec.gelu == "tanh", drop, True,
+            seed, 1e-5, spec.gelu, drop, True,
         )
     return feedforward_block(p, prefix, x, spec, train=train, rngs=rngs) + x
 
@@ -440,7 +441,7 @@ def feedforward_cls_branch(p: Params, prefix: str, c: jax.Array,
     """MLP branch on the pooled (B, dim) CLS rows (last-layer fast path)."""
     h = layer_norm(p, f"{prefix}.net.0", c)
     h = linear(p, f"{prefix}.net.1", h)
-    h = jax.nn.gelu(h, approximate=(spec.gelu == "tanh"))
+    h = gelu_spec(h, spec.gelu)
     h = dropout(h, spec.dropout, train, rngs)
     h = linear(p, f"{prefix}.net.4", h)
     return dropout(h, spec.dropout, train, rngs)

@@ -22,6 +22,7 @@ from gaviko_tpu.core.layers import (
     RngStream,
     dropout,
     gelu,
+    gelu_spec,
     layer_norm,
     linear,
     ssf_ada,
@@ -57,7 +58,7 @@ def _ff_cls_branch(p, prefix, c, spec, *, train, rngs):
     h = _ssf(p, prefix, 0, h)
     h = linear(p, f"{prefix}.net.1", h)
     h = _ssf(p, prefix, 1, h)
-    h = jax.nn.gelu(h, approximate=(spec.gelu == "tanh"))
+    h = gelu_spec(h, spec.gelu)
     h = dropout(h, spec.dropout, train, rngs)
     h = linear(p, f"{prefix}.net.4", h)
     h = _ssf(p, prefix, 2, h)
@@ -117,7 +118,7 @@ def _ff_block(p, prefix, x, spec, *, train, rngs):
     h = _ssf(p, prefix, 0, h)
     h = linear(p, f"{prefix}.net.1", h)
     h = _ssf(p, prefix, 1, h)
-    h = jax.nn.gelu(h, approximate=(spec.gelu == "tanh"))
+    h = gelu_spec(h, spec.gelu)
     h = dropout(h, spec.dropout, train, rngs)
     h = linear(p, f"{prefix}.net.4", h)
     h = _ssf(p, prefix, 2, h)

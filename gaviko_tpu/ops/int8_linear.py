@@ -122,7 +122,7 @@ def int8_linear(x, w_i8, w_scale, bias=None, gamma=None, beta=None,
 def _int8_mlp_kernel(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref,
                      w2_ref, s2_ref, b2_ref, o_ref, *, eps, approximate,
                      residual):
-    from gaviko_tpu.ops.fused_mlp import gelu_exact_f32
+    from gaviko_tpu.ops.fused_mlp import gelu_by_mode
 
     xf = x_ref[:].astype(jnp.float32)
     h = _ln_f32(xf, g_ref[:].astype(jnp.float32),
@@ -132,10 +132,7 @@ def _int8_mlp_kernel(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref,
         h_i8, w1_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32) * (sh * s1_ref[:]) + b1_ref[:].astype(jnp.float32)
-    if approximate:
-        gact = jax.nn.gelu(a, approximate=True)
-    else:
-        gact = gelu_exact_f32(a)
+    gact = gelu_by_mode(a, approximate)
     g_i8, sg = _quant_rows(gact)
     out = jax.lax.dot_general(
         g_i8, w2_ref[:], (((1,), (1,)), ((), ())),

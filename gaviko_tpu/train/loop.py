@@ -273,6 +273,26 @@ def _run_training(config: dict, model: Model, params: Dict, loaders,
         )
 
     rng = jax.random.PRNGKey(train_cfg.get("seed", 0))
+
+    # H2D pipelining (train.h2d_prefetch, default on): stage the next
+    # batch's global-batch assembly + put_volume on a background thread so
+    # the transfer overlaps the current step's compute AND the loader's
+    # decode (data/device_prefetch.py). Epoch wall tends to
+    # max(wire, compute) instead of their sum — decisive through the axon
+    # relay's 2-6 s/batch wire, free but harmless on PCIe hosts.
+    h2d_prefetch = bool(train_cfg.get("h2d_prefetch", True))
+
+    def _stage(inputs, labels):
+        inputs, labels = global_batch(inputs, labels)
+        return put_volume(inputs), jnp.asarray(labels)
+
+    def _iter_staged(loader):
+        if not h2d_prefetch:
+            return ((_stage(i, l) + (n,)) for i, l, n in loader)
+        from gaviko_tpu.data.device_prefetch import DevicePrefetcher
+
+        return iter(DevicePrefetcher(loader, _stage))
+
     memory_logger = MemoryUsageLogger(verbose=train_cfg.get("memory_verbose", False))
     memory_logger.set_sizes(
         model_bytes=sum(int(v.nbytes) for v in {**frozen, **trainable}.values())
@@ -429,21 +449,18 @@ def _run_training(config: dict, model: Model, params: Dict, loaders,
         # per-step host work is dispatch, so H2D/compute pipeline freely
         # (per-step float() syncs would stall ~25 ms each on this relay).
         step_stats = []  # (loss_dev, correct_dev, batch_size)
-        for index, (inputs, labels, n_valid) in enumerate(train_loader, start=skip):
+        # Batches arrive already staged on device: multi-host global-batch
+        # assembly + the row-major pinned put_volume transfer ran on the
+        # prefetch thread (or inline when h2d_prefetch is off).
+        for index, (inputs, labels, n_valid) in enumerate(
+            _iter_staged(train_loader), start=skip
+        ):
             memory_logger.index = index
             memory_logger.display_before_forward_pass()
             if global_step == prof_start:
                 jax.profiler.start_trace(prof_dir)
                 logging.info(f"Profiler trace started -> {prof_dir}")
             step_rng = jax.random.fold_in(rng, global_step)
-            # Multi-host: assemble the global batch from this host's slice
-            # (identity on a single process).
-            inputs, labels = global_batch(inputs, labels)
-            # Row-major pinned transfer: the default TPU layout for NCDHW
-            # volumes puts D in lanes, forcing a whole-batch relayout copy
-            # inside the step (see utils/layouts.py).
-            inputs = put_volume(inputs)
-            labels = jnp.asarray(labels)
             memory_logger.display_after_moving_data_to_gpu()
             if not batch_bytes_set:
                 memory_logger.set_sizes(batch_bytes=int(inputs.nbytes))
@@ -518,14 +535,11 @@ def _run_training(config: dict, model: Model, params: Dict, loaders,
 
         # ---- validation ----
         val_stats = []
-        for index_val, (inputs, labels, n_valid) in enumerate(val_loader):
-            # Multi-host: assemble the global batch from this host's slice
-            # exactly like the train loop (identity on a single process) —
-            # the sharded eval step expects the GLOBAL array, not the
-            # per-host slice.
-            inputs, labels = global_batch(inputs, labels)
-            inputs = put_volume(inputs)
-            labels = jnp.asarray(labels)
+        # Same staged pipeline as the train loop (multi-host global-batch
+        # assembly + pinned transfer on the prefetch thread).
+        for index_val, (inputs, labels, n_valid) in enumerate(
+            _iter_staged(val_loader)
+        ):
             loss, correct, _ = eval_step(trainable, frozen, inputs, labels)
             if index_val == 0 and train_cfg.get("flops_calculation") and not flops_done:
                 flops = jit_cost_flops(

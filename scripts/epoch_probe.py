@@ -192,8 +192,14 @@ def main():
                              "run at the recorded h2d_wire rate (~10-16 "
                              "MB/s vs PCIe >10 GB/s on a real TPU host), "
                              "so wall_over_wire_budget is the meaningful "
-                             "tracking ratio here; single-core host also "
-                             "serializes raw-volume np.load",
+                             "tracking ratio here. train.h2d_prefetch "
+                             "(default on) stages the next batch's upload "
+                             "on a background thread; a ratio < 1.0 is "
+                             "direct proof the relay does NOT serialize "
+                             "transfer vs compute/decode (the budget sums "
+                             "them serially). Single-core host still "
+                             "serializes raw-volume np.load within a "
+                             "batch's assembly.",
             }
             out = os.path.join(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))), "EPOCH_PROBE.json")

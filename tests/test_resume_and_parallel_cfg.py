@@ -219,10 +219,17 @@ def test_preemption_mid_epoch_resume_is_bitwise_exact(tmp_path):
     root = str(tmp_path)
     csv_path, volumes = make_synth_dataset(root, n_train=8, n_val=2)
 
-    def fresh(save_dir, epochs=2):
+    def fresh(save_dir, epochs=2, h2d_prefetch=False):
         config = tiny_config(root, csv_path, volumes, method="bitfit",
                              epochs=epochs)
         config["train"]["save_dir"] = os.path.join(root, save_dir)
+        # _PreemptingLoader's "signal just before batch `after`" semantics
+        # assume the MAIN loop consumes the loader; with the H2D prefetch
+        # thread the worker races ahead, so the signal lands at a
+        # nondeterministic step. Prefetch off here pins the step count;
+        # test_preemption_under_h2d_prefetch_resumes_exactly covers the
+        # prefetch-on contract (exactness without a pinned count).
+        config["train"]["h2d_prefetch"] = h2d_prefetch
         config["utils"]["log_dir"] = os.path.join(root, save_dir, "log")
         model = build_model(config["model"])
         params = build_params(model, jax.random.PRNGKey(0),
@@ -266,6 +273,23 @@ def test_preemption_mid_epoch_resume_is_bitwise_exact(tmp_path):
     assert set(pa) == set(pb)
     for k in pa:
         np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)
+
+    # ---- same contract with the H2D prefetch thread ON ----
+    # The signal now lands at a thread-race-dependent step, so no pinned
+    # step count — the contract is: whatever boundary was saved, `--resume
+    # auto` continues to BITWISE-identical final parameters.
+    cfg, model, params, (tr, va, tl, vl) = fresh("wC", h2d_prefetch=True)
+    rc = run_training(cfg, model, params,
+                      (_PreemptingLoader(tr, after=2), va, tl, vl), "ts")
+    assert rc["preempted"]
+    cfg, model, params, loaders = fresh("wC", h2d_prefetch=True)
+    cfg["train"]["resume"] = "auto"
+    rc2 = run_training(cfg, model, params, loaders, "ts")
+    assert not rc2["preempted"]
+    pc, meta_c = final_params("wC")
+    assert meta_a["global_step"] == meta_c["global_step"]
+    for k in pa:
+        np.testing.assert_array_equal(pa[k], pc[k], err_msg=k)
 
 
 def test_gaviko_dhw_derived_and_validated():
