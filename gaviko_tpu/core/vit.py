@@ -147,13 +147,17 @@ def attention_block(
             x, p[f"{prefix}.norm.weight"], p[f"{prefix}.norm.bias"], wq
         )
     else:
-        qkv = layer_norm(p, f"{prefix}.norm", x) @ wq.T
-    B, N, _ = qkv.shape
+        qkv = None  # plain path: deferred so mhsa_qkv_proj can own the GEMM
+    B, N, _ = x.shape
     heads, dh = spec.heads, spec.dim_head
     n_true = N if n_true is None else n_true
 
     from gaviko_tpu.ops import attention as attn_mod
-    from gaviko_tpu.ops.flash_attention import fused_mhsa, fused_mhsa_supported
+    from gaviko_tpu.ops.flash_attention import (
+        fused_mhsa,
+        fused_mhsa_supported,
+        mhsa_qkv_proj,
+    )
 
     # In-kernel hash dropout keeps the fused path active in training too
     # (the reference's primary mode); the custom VJP replays the same mask.
@@ -168,12 +172,26 @@ def attention_block(
         else:
             seed = jnp.zeros((1,), jnp.int32)
         pad = (-N) % 8
-        if pad:
-            qkv = jnp.pad(qkv, [(0, 0), (0, pad), (0, 0)])
-        out = fused_mhsa(qkv, seed, heads, dh, dh ** -0.5, n_true, drop)
-        if pad:
-            out = out[:, :N]
+        if qkv is None and pad == 0:
+            # Projection + attention under ONE custom VJP: the backward
+            # emits (dh, dW) directly, so the [B, N, 3*inner] dqkv
+            # cotangent is never packed (XLA materialized that concat as
+            # AllocateBuffer + 3 DUS writes — 2.5 ms/step at B16; see
+            # ops/flash_attention.mhsa_qkv_proj).
+            h_ln = layer_norm(p, f"{prefix}.norm", x)
+            out = mhsa_qkv_proj(h_ln, wq, seed, heads, dh, dh ** -0.5,
+                                n_true, drop)
+        else:
+            if qkv is None:
+                qkv = layer_norm(p, f"{prefix}.norm", x) @ wq.T
+            if pad:
+                qkv = jnp.pad(qkv, [(0, 0), (0, pad), (0, 0)])
+            out = fused_mhsa(qkv, seed, heads, dh, dh ** -0.5, n_true, drop)
+            if pad:
+                out = out[:, :N]
     else:
+        if qkv is None:
+            qkv = layer_norm(p, f"{prefix}.norm", x) @ wq.T
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def to_heads(t):

@@ -66,14 +66,24 @@ def main():
         f.write(text)
     print(f"wrote {len(text)} bytes to {out}")
 
-    # Report every surviving concatenate with its shape.
+    # Report every surviving concatenate with its shape. XLA also lowers
+    # concats as AllocateBuffer + dynamic-update-slice chains (the form the
+    # round-4 audit MISSED — at B16 the dqkv concat materialized exactly
+    # that way, 2.5 ms/step), so count big DUS targets too.
     concats = {}
     for m in re.finditer(r"= (\S+) concatenate\(", text):
         concats[m.group(1)] = concats.get(m.group(1), 0) + 1
     for shape, n in sorted(concats.items()):
         print(f"concatenate {shape} x{n}")
-    big = [s for s in concats if "2304" in s]
-    print("dqkv concat materializes:" , bool(big), big)
+    dus = {}
+    for m in re.finditer(r"= (\S+) dynamic-update-slice\(", text):
+        dus[m.group(1)] = dus.get(m.group(1), 0) + 1
+    for shape, n in sorted(dus.items()):
+        if "2304" in shape or "3072" in shape:
+            print(f"dynamic-update-slice {shape} x{n}")
+    big = [s for s in list(concats) + list(dus)
+           if "2304" in s and "768]" in s.split(",")[-1]]
+    print("dqkv concat/DUS materializes:", bool(big), big)
 
 
 if __name__ == "__main__":

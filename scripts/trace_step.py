@@ -21,7 +21,7 @@ from gaviko_tpu.utils.compile_cache import enable_compilation_cache
 enable_compilation_cache()
 
 
-def build_train_step():
+def build_train_step(batch: int = 8):
     import jax
     import jax.numpy as jnp
 
@@ -40,8 +40,8 @@ def build_train_step():
         model.init(jax.random.PRNGKey(0), model.spec))
     opt_state = fused_optim.init(params)
     rng = np.random.RandomState(0)
-    vol = jnp.asarray(rng.rand(8, 1, 120, 160, 160)).astype(jnp.bfloat16)
-    labels = jnp.asarray(rng.randint(0, 5, size=8).astype(np.int32))
+    vol = jnp.asarray(rng.rand(batch, 1, 120, 160, 160)).astype(jnp.bfloat16)
+    labels = jnp.asarray(rng.randint(0, 5, size=batch).astype(np.int32))
     key = jax.random.PRNGKey(1)
 
     def loss_fn(p, step_rng):
@@ -139,6 +139,7 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "train"
     trace_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/trace_{which}"
     builders = {"train": build_train_step, "infer": build_infer,
+                "train16": lambda: build_train_step(batch=16),
                 "gaviko_train": build_gaviko_train_step}
     if which not in builders:
         sys.exit(f"usage: trace_step.py {'|'.join(builders)} [trace_dir]")

@@ -159,3 +159,37 @@ def test_prng_flag_inert_on_cpu(monkeypatch):
     monkeypatch.setenv("GAVIKO_DROPOUT_PRNG", "1")
     jax.clear_caches()
     np.testing.assert_array_equal(base, run())
+
+
+def test_mhsa_qkv_proj_matches_separate_vjps():
+    """mhsa_qkv_proj (projection + attention under one custom VJP, so the
+    backward emits dh/dW without packing a dqkv cotangent) must match the
+    separate h@w.T + fused_mhsa composition in BOTH forward value and
+    (dh, dw) gradients, with and without in-kernel dropout."""
+    from gaviko_tpu.ops.flash_attention import mhsa_qkv_proj
+
+    B, H, N, D = 2, 4, 48, 64
+    dim = 128
+    inner = H * D
+    rng = np.random.RandomState(3)
+    h = jnp.asarray(rng.randn(B, N, dim).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.randn(3 * inner, dim).astype(np.float32) * 0.05)
+    n_true = 41
+    seed = jnp.asarray([17], jnp.int32)
+
+    for drop in (0.0, 0.2):
+        def loss_fused(h, w):
+            o = mhsa_qkv_proj(h, w, seed, H, D, D ** -0.5, n_true, drop)
+            return jnp.sum(o[:, :n_true] ** 2)
+
+        def loss_ref(h, w):
+            o = fused_mhsa(h @ w.T, seed, H, D, D ** -0.5, n_true, drop)
+            return jnp.sum(o[:, :n_true] ** 2)
+
+        v1, (dh1, dw1) = jax.value_and_grad(loss_fused, argnums=(0, 1))(h, w)
+        v2, (dh2, dw2) = jax.value_and_grad(loss_ref, argnums=(0, 1))(h, w)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dh1), np.asarray(dh2),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2),
+                                   atol=2e-4, rtol=1e-3)
