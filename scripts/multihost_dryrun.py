@@ -77,27 +77,26 @@ def _env(n_local_devices: int) -> dict:
     return env
 
 
-def run(record_path: str | None = None, timeout_s: int = 900) -> dict:
-    root = tempfile.mkdtemp(prefix="multihost_dryrun_")
-    make_dataset(root)
-
-    # --- single-process reference: same 8-wide data mesh, one process ---
-    single_out = os.path.join(root, "single.json")
+def _run_topology(root: str, model_axis: int, tag: str, timeout_s: int):
+    """Run single-process + 2-process workers over the shared dataset at
+    ``root`` with a data=(8//model_axis) x model=model_axis mesh; return
+    (single_result, [proc0_result, proc1_result])."""
+    extra = ["--model-axis", str(model_axis), "--tag", tag]
+    single_out = os.path.join(root, f"{tag}single.json")
     rc = subprocess.run(
-        [sys.executable, WORKER, "--root", root, "--out", single_out],
+        [sys.executable, WORKER, "--root", root, "--out", single_out] + extra,
         env=_env(8), timeout=timeout_s, cwd=REPO,
     ).returncode
     single = json.load(open(single_out))
     assert rc == 0 and single["ok"], f"single-process run failed: {single}"
 
-    # --- 2-process run: 4 + 4 virtual devices over jax.distributed ---
     port = _free_port()
-    outs = [os.path.join(root, f"mh{i}.json") for i in range(2)]
+    outs = [os.path.join(root, f"{tag}mh{i}.json") for i in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, "--process-id", str(i),
              "--num-processes", "2", "--port", str(port),
-             "--root", root, "--out", outs[i]],
+             "--root", root, "--out", outs[i]] + extra,
             env=_env(4), cwd=REPO,
         )
         for i in range(2)
@@ -108,6 +107,16 @@ def run(record_path: str | None = None, timeout_s: int = 900) -> dict:
         assert rc == 0 and r["ok"], f"multihost proc {i} failed: {r}"
         assert r["process_count_seen"] == 2, r
         assert r["device_count"] == 8 and r["local_device_count"] == 4, r
+    return single, results
+
+
+def run(record_path: str | None = None, timeout_s: int = 900) -> dict:
+    root = tempfile.mkdtemp(prefix="multihost_dryrun_")
+    make_dataset(root)
+
+    # --- phase 1: pure DP — data=8 mesh as one process vs 4+4 devices ---
+    single, results = _run_topology(root, model_axis=1, tag="",
+                                    timeout_s=timeout_s)
 
     # --- cross-topology + cross-process loss agreement ---
     ref = np.asarray(single["train_step_losses"])
@@ -141,6 +150,27 @@ def run(record_path: str | None = None, timeout_s: int = 900) -> dict:
         max_leaf_mae = max(max_leaf_mae, float(np.mean(np.abs(a - b))))
     assert max_leaf_mae < 1e-6, f"resume-state leaf MAE {max_leaf_mae}"
 
+    # --- phase 2: DP x TP — data=4 x model=2 mesh spanning the two
+    # processes (TP pairs are intra-process; the gradient psum crosses the
+    # process boundary). Loss + gathered-state parity vs the same-mesh
+    # single-process run.
+    single_tp, results_tp = _run_topology(root, model_axis=2, tag="tp_",
+                                          timeout_s=timeout_s)
+    ref_tp = np.asarray(single_tp["train_step_losses"])
+    for i, r in enumerate(results_tp):
+        np.testing.assert_allclose(
+            np.asarray(r["train_step_losses"]), ref_tp, rtol=2e-5, atol=1e-6,
+            err_msg=f"TP phase proc {i} train losses diverge")
+    s = np.load(single_tp["resume_state_path"])
+    m = np.load(results_tp[0]["resume_state_path"])
+    tp_leaf_mae = max(
+        float(np.mean(np.abs(s[k].astype(np.float64)
+                             - m[k].astype(np.float64))))
+        for k in s.files if k != "meta::json")
+    assert tp_leaf_mae < 1e-6, f"TP resume-state leaf MAE {tp_leaf_mae}"
+    max_dloss_tp = float(np.max(np.abs(
+        np.asarray(results_tp[0]["train_step_losses"]) - ref_tp)))
+
     summary = {
         "ok": True,
         "topology": "2 processes x 4 virtual CPU devices, data=8 mesh, "
@@ -151,6 +181,13 @@ def run(record_path: str | None = None, timeout_s: int = 900) -> dict:
         "max_train_loss_delta_vs_single_process": max_dloss,
         "resume_state_max_leaf_mae_vs_single_process": max_leaf_mae,
         "process0_only_writes": True,
+        "tp_phase": {
+            "topology": "data=4 x model=2 mesh spanning 2 processes "
+                        "(cross-process gradient psum; TP sharding on "
+                        "qkv/out-proj/MLP weights)",
+            "max_train_loss_delta_vs_single_process": max_dloss_tp,
+            "resume_state_max_leaf_mae_vs_single_process": tp_leaf_mae,
+        },
         "ref": "src/train.py:232-243 (DeepSpeed branch, never executed "
                "upstream; this path runs for real)",
     }

@@ -34,7 +34,9 @@ def build_config(root: str, proc_root: str, args) -> dict:
     Deterministic across topologies: dropout 0, fixed seed, host-side
     augmentation RNG keyed by GLOBAL dataset index (data/pipeline.py).
     """
-    parallel = {"enabled": True, "data": 8, "model": 1, "zero": True}
+    model_ax = int(getattr(args, "model_axis", 1) or 1)
+    parallel = {"enabled": True, "data": 8 // model_ax, "model": model_ax,
+                "zero": True}
     if args.num_processes > 1:
         parallel.update(
             multihost=True,
@@ -81,6 +83,11 @@ def main() -> int:
     p.add_argument("--port", type=str, default="0")
     p.add_argument("--root", required=True, help="shared dataset root")
     p.add_argument("--out", required=True, help="result JSON path")
+    p.add_argument("--model-axis", type=int, default=1,
+                   help="TP width (data axis = 8 // model)")
+    p.add_argument("--tag", type=str, default="",
+                   help="run-dir prefix so phases sharing a dataset root "
+                        "do not collide")
     args = p.parse_args()
 
     import jax
@@ -90,8 +97,8 @@ def main() -> int:
     # supported way to pin CPU (see tests/conftest.py).
     jax.config.update("jax_platforms", "cpu")
 
-    proc_root = os.path.join(args.root, f"proc{args.process_id}"
-                             if args.num_processes > 1 else "single")
+    proc_root = os.path.join(args.root, args.tag + (
+        f"proc{args.process_id}" if args.num_processes > 1 else "single"))
     os.makedirs(proc_root, exist_ok=True)
     result = {"process_id": args.process_id,
               "num_processes": args.num_processes}

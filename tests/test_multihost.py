@@ -39,3 +39,8 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert summary["max_train_loss_delta_vs_single_process"] <= 1e-5
     assert summary["resume_state_max_leaf_mae_vs_single_process"] < 1e-6
     assert summary["process0_only_writes"]
+    # Phase 2: a data=4 x model=2 mesh SPANNING the two processes — the
+    # gradient psum crosses the process boundary with TP-sharded weights.
+    tp = summary["tp_phase"]
+    assert tp["max_train_loss_delta_vs_single_process"] <= 1e-5
+    assert tp["resume_state_max_leaf_mae_vs_single_process"] < 1e-6
