@@ -230,3 +230,35 @@ def test_fused_optimizer_big_leaf_pallas_path(monkeypatch):
         for k in params:
             np.testing.assert_allclose(
                 np.asarray(p_ref[k]), np.asarray(p_fused[k]), atol=1e-6)
+
+
+def test_onecycle_beta1_matches_torch_momentum_cycle():
+    """The beta1 schedule must reproduce torch OneCycleLR's momentum cycle
+    (cycle_momentum=True default: beta1 overwritten every step, inverse-
+    phased to the lr) value-for-value over a full 20-step cycle, for both
+    a warmup-heavy and the reference pct_start."""
+    import torch
+
+    from gaviko_tpu.train.schedule import onecycle_beta1, onecycle_cos
+
+    for pct_start in (0.3, 0.6):
+        total = 20
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.Adam([p], lr=1e-4, betas=(0.9, 0.999))
+        sch = torch.optim.lr_scheduler.OneCycleLR(
+            opt, max_lr=3e-4, total_steps=total, pct_start=pct_start,
+            div_factor=10.0, final_div_factor=1000.0, anneal_strategy="cos",
+            three_phase=False)
+        want_b1, want_lr = [], []
+        for _ in range(total):
+            want_lr.append(opt.param_groups[0]["lr"])
+            want_b1.append(opt.param_groups[0]["betas"][0])
+            opt.step()
+            sch.step()
+        b1s = onecycle_beta1(total, pct_start=pct_start)
+        lrs = onecycle_cos(3e-4, total, pct_start=pct_start, div_factor=10.0,
+                           final_div_factor=1000.0)
+        got_b1 = [float(b1s(i)) for i in range(total)]
+        got_lr = [float(lrs(i)) for i in range(total)]
+        np.testing.assert_allclose(got_b1, want_b1, atol=1e-6)
+        np.testing.assert_allclose(got_lr, want_lr, rtol=1e-5)
