@@ -118,6 +118,13 @@ _PEFT_CFGS = {
     ),
     "ssf": dict(freeze_vit=True),
     "melo": dict(freeze_vit=True, r=4, alpha=4),
+    "adaptformer": dict(freeze_vit=True),
+    "dvpt": dict(freeze_vit=True, num_prompts=6, pool="mean"),
+    "evp": dict(freeze_vit=True, scale_factor=4),
+    "shallow_vpt": dict(freeze_vit=True, num_prompts=4, prompt_dim=16,
+                        prompt_dropout=0.0, deep_prompt=False),
+    "deep_vpt": dict(freeze_vit=True, num_prompts=4, prompt_dim=16,
+                     prompt_dropout=0.0, deep_prompt=True),
 }
 
 
